@@ -1,0 +1,270 @@
+"""Single typed configuration tree for the whole framework.
+
+The reference scatters configuration over three layers — argparse CLIs,
+module-level constant globals (``attention_aspp_unet_pipeline_stage.py:29-31``),
+and JSON/env side channels (``thr.json``, ``--spacing_json``, ``MODEL_TAG``,
+``CASE_ID``; see ``/root/reference/inference.py:29-31``).  Here everything is
+one dataclass tree; the CLI builds instances of these and nothing else reads
+globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Per-frame enhancement applied to every sweep frame on device.
+
+    Mirrors the reference chain min-max→CLAHE(clip=1.0, 8×8)→median-3
+    (``/root/reference/inference.py:168-177``), but batched over the whole
+    sweep in one XLA program instead of a per-frame OpenCV loop.
+    """
+
+    clahe_clip: float = 1.0
+    clahe_grid: Tuple[int, int] = (8, 8)
+    median_kernel: int = 3
+    img_size: int = 512          # network input H=W (reference IMG_SIZE=512)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Attention-ASPP-UNet architecture knobs.
+
+    Covers both reference variants: the v1 gate with BatchNorm
+    (``attention_aspp_unet_pipeline_stage.py:85-92``) and the v2 ablation gate
+    (no BN, residual ``x·a + x``, returns ψ maps, auto Fint —
+    ``test_ablation.py:128-143``), plus the ablation flags
+    ``use_att/use_aspp/att_depth`` (``test_ablation.py:168-204``).
+    """
+
+    in_channels: int = 1
+    num_classes: int = 1
+    base_c: int = 48                 # reference CLI default (…stage.py:545)
+    use_att: bool = True
+    use_aspp: bool = True
+    att_depth: int = 4               # gates active on u4 (=4), u3 (=3)
+    gate_variant: str = "v1"         # "v1" (BN gate) | "v2" (residual ψ gate)
+    aspp_rates: Tuple[int, ...] = (6, 12, 18)
+    aspp_dropout: float = 0.1
+    # TPU precision policy: bf16 activations, f32 params & batch stats.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def returns_psi(self) -> bool:
+        return self.gate_variant == "v2"
+
+
+@dataclass(frozen=True)
+class PlainUNetConfig:
+    """nnU-Net-style PlainConvUNet used by the baseline path.
+
+    Mirrors the reference plan "2d" (batch 13, patch 448×576, 7 stages,
+    base 32 — ``resources/.../plans.json``), predicted with Gaussian-weighted
+    50%-overlap tiles + mirror TTA like ``nnUNetPredictor``
+    (``/root/reference/model.py:41-49``).
+    """
+
+    in_channels: int = 1
+    num_classes: int = 3             # background / optimal / suboptimal
+    base_c: int = 32
+    max_c: int = 512
+    n_stages: int = 7
+    conv_per_stage: int = 2
+    patch_size: Tuple[int, int] = (448, 576)
+    tile_step: float = 0.5
+    use_gaussian: bool = True
+    use_mirroring: bool = True
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Criterion = weighted BCE + Dice(+Tversky) + Sobel edge loss.
+
+    Reference loss zoo at ``attention_aspp_unet_pipeline_stage.py:173-232``.
+    """
+
+    loss_type: str = "combo"         # "combo" (Dice+BCE) | "tversky"
+    tversky_alpha: float = 0.7
+    tversky_beta: float = 0.3
+    dice_smooth: float = 1.0
+    edge_weight: float = 0.05
+    neg_bce_weight: float = 0.05     # finetune-only empty-mask down-weight
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Device-side augmentation pipeline (reference used albumentations on CPU:
+    ``attention_aspp_unet_pipeline_stage.py:149-156``)."""
+
+    hflip_p: float = 0.5
+    affine_p: float = 0.7
+    scale_range: Tuple[float, float] = (0.92, 1.08)
+    rotate_deg: float = 7.0
+    translate_frac: float = 0.02
+    gamma_p: float = 0.3
+    gamma_range: Tuple[float, float] = (0.8, 1.2)
+    brightness_contrast_p: float = 0.3
+    brightness_limit: float = 0.1
+    contrast_limit: float = 0.1
+    elastic_p: float = 0.25
+    elastic_alpha: float = 8.0
+    elastic_sigma: float = 3.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Two-stage (main → finetune) training loop configuration.
+
+    Defaults mirror the reference CLI (``…stage.py:539-550``): batch 8,
+    120 epochs, lr 3e-4, AdamW wd 5e-4, 5 % linear warmup → cosine, grad clip
+    1.0, early-stop patience 15, seed 2025.
+    """
+
+    seed: int = 2025
+    stage: str = "main"              # "main" | "finetune"
+    batch_size: int = 8              # global batch (sharded over the mesh)
+    epochs: int = 120
+    lr: float = 3e-4
+    weight_decay: float = 5e-4
+    grad_clip: float = 1.0
+    warmup_frac: float = 0.05        # 0 in finetune stage
+    early_stop_patience: int = 15
+    val_frac: float = 0.1            # positive-only fallback split
+    differential_lr: bool = False    # ablation runner: attention params 2×
+    loss: LossConfig = field(default_factory=LossConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+
+@dataclass(frozen=True)
+class PredictConfig:
+    """Standalone sweep/PNG prediction settings.
+
+    Mirrors ``predict()`` (``…stage.py:399-523``): hflip TTA, resize back,
+    5×5 Gaussian blur on probabilities, thr from ``thr.json`` else 0.48,
+    refine mask, top-5-area frames re-ranked by circularity.
+    """
+
+    threshold: float = 0.48
+    tta_hflip: bool = True
+    gaussian_kernel: int = 5
+    topk_frames: int = 5
+    min_area_px: int = 20
+    min_area_frac: float = 0.0015
+    close_kernel: int = 7
+    frame_batch: int = 8
+    roi_size: int = 224              # ROI deployment path (model_attention_aspp.py)
+    subsample_frames: int = 128      # linspace subsample in the ROI path
+
+
+@dataclass(frozen=True)
+class CalibrateConfig:
+    """Threshold calibration sweep.  Unlike the reference (which re-runs every
+    forward pass for each of 17 thresholds, ``…stage.py:383-392``), we compute
+    probabilities once and sweep thresholds vectorised on device."""
+
+    thr_lo: float = 0.1
+    thr_hi: float = 0.9
+    thr_steps: int = 17
+    with_ci: bool = False            # ablation variant adds t-dist 95 % CI
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout.  One axis ("data") shards the frame/batch axis —
+    frames of a sweep are independent, so sweep inference is pure DP over ICI.
+    A "model" axis is expressible for TP but unused at this model scale."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallelism: int = 1
+
+
+@dataclass(frozen=True)
+class ContainerConfig:
+    """Grand-Challenge container contract (``/root/reference/inference.py``):
+    read ``<input>/images/stacked-fetal-ultrasound/*.mha|*.tiff``, write
+    ``<output>/images/fetal-abdomen-segmentation/<case>.mha`` (uint8, label 2,
+    spacing 0.28, compressed) + ``<output>/fetal-abdomen-frame-number.json``.
+    ``MODEL_TAG`` selects baseline vs att_aspp; ``CASE_ID`` names the output."""
+
+    input_path: str = "./test/input"
+    output_path: str = "./test/output"
+    model_tag: str = "baseline"      # "baseline" | "att_aspp"
+    case_id: str = "output"
+    spacing_mm: float = 0.28
+    frames_per_sweep: int = 140
+
+
+@dataclass(frozen=True)
+class Config:
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    plain_unet: PlainUNetConfig = field(default_factory=PlainUNetConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    predict: PredictConfig = field(default_factory=PredictConfig)
+    calibrate: CalibrateConfig = field(default_factory=CalibrateConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    container: ContainerConfig = field(default_factory=ContainerConfig)
+
+
+def _to_jsonable(obj):
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    return obj
+
+
+def save_config(cfg, path: Path) -> None:
+    Path(path).write_text(json.dumps(_to_jsonable(cfg), indent=2))
+
+
+def _from_dict(cls, data):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            v = _from_dict(f.type, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "preprocess": PreprocessConfig, "model": ModelConfig,
+    "plain_unet": PlainUNetConfig, "train": TrainConfig,
+    "predict": PredictConfig, "calibrate": CalibrateConfig,
+    "mesh": MeshConfig, "container": ContainerConfig,
+    "loss": LossConfig, "augment": AugmentConfig,
+}
+
+
+def load_config(path: Path) -> Config:
+    data = json.loads(Path(path).read_text())
+
+    def build(cls, d):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if f.name in _NESTED and isinstance(v, dict):
+                v = build(_NESTED[f.name], v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    return build(Config, data)
