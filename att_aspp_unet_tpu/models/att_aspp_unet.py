@@ -1,0 +1,114 @@
+"""Attention-ASPP-UNet — the flagship segmentation model.
+
+Capabilities of both reference variants behind one config:
+
+- v1 (``attention_aspp_unet_pipeline_stage.py:111-127``): 4-level encoder
+  (base_c·{1,2,4,8}), ASPP bridge → base_c·16, decoder u4..u1 with v1
+  attention gates on u4/u3/u2 (u1 ungated), 1×1 output conv.
+- v2 / ablation (``test_ablation.py:168-218``): flags ``use_att / use_aspp /
+  att_depth``, v2 residual gates on u4 (depth≥4) and u3 (depth≥3) only, bridge
+  replaceable by ConvBNReLU+Dropout, forward returns ψ maps [ψ3, ψ2].
+
+Input/params are NHWC / HWIO; activations bf16, params f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..nn.blocks import ASPP, ConvBNReLU, UpBlock
+
+
+class AttentionASPPUNet(nn.Module):
+    in_channels: int = 1
+    num_classes: int = 1
+    base_c: int = 48
+    use_att: bool = True
+    use_aspp: bool = True
+    att_depth: int = 4
+    gate_variant: str = "v1"
+    aspp_rates: Tuple[int, ...] = (6, 12, 18)
+    aspp_dropout: float = 0.1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig) -> "AttentionASPPUNet":
+        return cls(
+            in_channels=cfg.in_channels, num_classes=cfg.num_classes,
+            base_c=cfg.base_c, use_att=cfg.use_att, use_aspp=cfg.use_aspp,
+            att_depth=cfg.att_depth, gate_variant=cfg.gate_variant,
+            aspp_rates=tuple(cfg.aspp_rates), aspp_dropout=cfg.aspp_dropout,
+            dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
+        )
+
+    def _gated(self, level: int) -> bool:
+        """Which decoder levels carry a gate.
+
+        v1 wiring gates u4/u3/u2 and leaves u1 plain
+        (``…stage.py:120-121``); v2 wiring gates u4/u3 only, subject to
+        ``att_depth`` (``test_ablation.py:199-202``).
+        """
+        if not self.use_att:
+            return False
+        if self.gate_variant == "v1":
+            return level >= 2
+        return level >= 3 and self.att_depth >= level
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, H, W, in_channels) → logits (B, H, W, num_classes), ψ list."""
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        c = self.base_c
+        x = x.astype(self.dtype)
+
+        def enc(h, feats, name):
+            h = ConvBNReLU(feats, name=f"{name}_0", **kw)(h, train)
+            return ConvBNReLU(feats, name=f"{name}_1", **kw)(h, train)
+
+        x1 = enc(x, c, "d1")
+        x2 = enc(nn.max_pool(x1, (2, 2), (2, 2)), c * 2, "d2")
+        x3 = enc(nn.max_pool(x2, (2, 2), (2, 2)), c * 4, "d3")
+        x4 = enc(nn.max_pool(x3, (2, 2), (2, 2)), c * 8, "d4")
+        hb = nn.max_pool(x4, (2, 2), (2, 2))
+
+        if self.use_aspp:
+            b = ASPP(c * 16, rates=self.aspp_rates, dropout=self.aspp_dropout,
+                     name="bridge", **kw)(hb, train)
+        else:
+            b = ConvBNReLU(c * 16, name="bridge_conv", **kw)(hb, train)
+            b = nn.Dropout(self.aspp_dropout, deterministic=not train)(b)
+
+        def up(level, feats, g, skip):
+            return UpBlock(feats, use_att=self._gated(level),
+                           gate_variant=self.gate_variant,
+                           name=f"u{level}", **kw)(g, skip, train)
+
+        d4, psi3 = up(4, c * 8, b, x4)
+        d3, psi2 = up(3, c * 4, d4, x3)
+        d2, psi1 = up(2, c * 2, d3, x2)
+        d1, psi0 = up(1, c, d2, x1)
+
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="out_conv")(d1)
+        logits = logits.astype(jnp.float32)
+
+        psis: List[Optional[jax.Array]] = [psi3, psi2]
+        return logits, psis
+
+
+def create_model(cfg: ModelConfig):
+    """Build the model plus initialized variables for a given config."""
+    model = AttentionASPPUNet.from_config(cfg)
+
+    def init(rng, sample_hw=(64, 64)):
+        x = jnp.zeros((1, sample_hw[0], sample_hw[1], cfg.in_channels), jnp.float32)
+        return model.init({"params": rng}, x, train=False)
+
+    return model, init

@@ -1,0 +1,113 @@
+"""Sliding-window tiled inference with Gaussian weighting and mirror TTA.
+
+TPU-native replacement for the reference's ``nnUNetPredictor`` configuration
+(``/root/reference/model.py:41-49``: ``tile_step_size=0.5, use_gaussian=True,
+use_mirroring=True``).  Design differences from the torch original:
+
+- the tile grid is computed at trace time from static shapes, so the whole
+  sweep×tiles×mirrors loop is ONE jitted program (no per-tile host round
+  trips);
+- all tiles of a frame are gathered into a batch and run through the network
+  together (big MXU batches instead of tile-at-a-time);
+- accumulation is a weighted scatter-add followed by a normalising divide.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_tile_starts(image_size: int, tile_size: int, step_frac: float) -> List[int]:
+    """nnU-Net's sliding-window step rule: cover [0, image-tile] with
+    ``ceil((image-tile)/(tile*step))+1`` evenly spaced, rounded starts."""
+    if image_size <= tile_size:
+        return [0]
+    target = tile_size * step_frac
+    num = int(math.ceil((image_size - tile_size) / target)) + 1
+    actual = (image_size - tile_size) / (num - 1)
+    return [int(round(i * actual)) for i in range(num)]
+
+
+def gaussian_importance_map(tile_hw: Tuple[int, int],
+                            sigma_scale: float = 1.0 / 8) -> np.ndarray:
+    """Center-peaked Gaussian tile weighting (max 1, strictly positive)."""
+    th, tw = tile_hw
+    cy, cx = (th - 1) / 2.0, (tw - 1) / 2.0
+    sy, sx = th * sigma_scale, tw * sigma_scale
+    ys = (np.arange(th) - cy) / sy
+    xs = (np.arange(tw) - cx) / sx
+    g = np.exp(-0.5 * ys[:, None] ** 2) * np.exp(-0.5 * xs[None, :] ** 2)
+    g = (g / g.max()).astype(np.float32)
+    return np.maximum(g, g[g > 0].min())
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "tile_hw", "step_frac",
+                                             "use_gaussian", "use_mirroring"))
+def sliding_window_predict(apply_fn: Callable, variables, frames: jax.Array,
+                           tile_hw: Tuple[int, int] = (448, 576),
+                           step_frac: float = 0.5,
+                           use_gaussian: bool = True,
+                           use_mirroring: bool = True) -> jax.Array:
+    """Tiled prediction over a stack of frames.
+
+    apply_fn(variables, x_nhwc) must return logits (B, h, w, C).
+    frames: (N, H, W) single-channel input in [0, 1].
+    Returns per-class probabilities (N, C, H, W) — the softmax layout the
+    reference's postprocess consumes (``postprocess_probability_maps.py:72``).
+    """
+    N, H, W = frames.shape
+    th, tw = tile_hw
+    pad_h, pad_w = max(0, th - H), max(0, tw - W)
+    if pad_h or pad_w:
+        # nnU-Net pads symmetrically to reach the patch size
+        top, left = pad_h // 2, pad_w // 2
+        frames = jnp.pad(frames, ((0, 0), (top, pad_h - top), (left, pad_w - left)))
+    Np, Hp, Wp = frames.shape
+
+    ys = compute_tile_starts(Hp, th, step_frac)
+    xs = compute_tile_starts(Wp, tw, step_frac)
+
+    tiles = jnp.stack([frames[:, y0:y0 + th, x0:x0 + tw]
+                       for y0 in ys for x0 in xs], axis=1)       # (N, T, th, tw)
+    T = len(ys) * len(xs)
+    batch = tiles.reshape(N * T, th, tw)[..., None]              # NHWC
+
+    def forward(x):
+        out = apply_fn(variables, x)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out.astype(jnp.float32)
+
+    logits = forward(batch)
+    if use_mirroring:
+        logits = logits + jnp.flip(forward(jnp.flip(batch, axis=2)), axis=2)
+        logits = logits + jnp.flip(forward(jnp.flip(batch, axis=1)), axis=1)
+        logits = logits + jnp.flip(forward(jnp.flip(batch, axis=(1, 2))), axis=(1, 2))
+        logits = logits / 4.0
+
+    C = logits.shape[-1]
+    w = jnp.asarray(gaussian_importance_map((th, tw))) if use_gaussian else \
+        jnp.ones((th, tw), jnp.float32)
+    weighted = logits.reshape(N, T, th, tw, C) * w[None, None, :, :, None]
+
+    acc = jnp.zeros((N, Hp, Wp, C), jnp.float32)
+    den = jnp.zeros((Hp, Wp), jnp.float32)
+    t = 0
+    for y0 in ys:
+        for x0 in xs:
+            acc = acc.at[:, y0:y0 + th, x0:x0 + tw, :].add(weighted[:, t])
+            den = den.at[y0:y0 + th, x0:x0 + tw].add(w)
+            t += 1
+    logits_full = acc / den[None, :, :, None]
+    probs = jax.nn.softmax(logits_full, axis=-1)
+
+    if pad_h or pad_w:
+        top, left = pad_h // 2, pad_w // 2
+        probs = probs[:, top:top + H, left:left + W, :]
+    return jnp.moveaxis(probs, -1, 1)                            # (N, C, H, W)
