@@ -1,0 +1,184 @@
+"""Training pipeline: augmentation, data, schedule, end-to-end smoke fit."""
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from att_aspp_unet_tpu.config import (AugmentConfig, Config, LossConfig,
+                                      ModelConfig, PreprocessConfig,
+                                      TrainConfig)
+from att_aspp_unet_tpu.ops import clahe, median3x3
+from att_aspp_unet_tpu.train.augment import augment_batch
+from att_aspp_unet_tpu.train.data import (ArrayDataset, collect_pairs,
+                                          epoch_batches,
+                                          positive_only_val_split)
+from att_aspp_unet_tpu.train.train_loop import (create_train_state, fit,
+                                                load_checkpoint,
+                                                make_lr_schedule,
+                                                make_train_step,
+                                                save_checkpoint)
+
+
+def _toy_batch(rng, B=2, S=32):
+    imgs = (rng.random((B, S, S)) * 255).astype(np.uint8)
+    msks = np.zeros((B, S, S), np.uint8)
+    msks[:, 8:24, 8:24] = 255
+    return imgs, msks
+
+
+def test_augment_deterministic(rng):
+    imgs, msks = _toy_batch(rng)
+    key = jax.random.PRNGKey(7)
+    x1, y1 = augment_batch(key, imgs, msks)
+    x2, y2 = augment_batch(key, imgs, msks)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_augment_shapes_and_ranges(rng):
+    imgs, msks = _toy_batch(rng, B=3, S=48)
+    x, y = augment_batch(jax.random.PRNGKey(0), imgs, msks)
+    assert x.shape == (3, 48, 48, 1) and y.shape == (3, 48, 48, 1)
+    xv, yv = np.asarray(x), np.asarray(y)
+    assert xv.min() >= 0 and xv.max() <= 1.0
+    assert set(np.unique(yv)).issubset({0.0, 1.0})
+
+
+def test_augment_eval_path_matches_enhance(rng):
+    imgs, msks = _toy_batch(rng)
+    x, y = augment_batch(jax.random.PRNGKey(0), imgs, msks, train=False)
+    want = np.asarray(median3x3(clahe(imgs, 1.0, (8, 8)))).astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(x)[..., 0], want, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y)[..., 0], (msks > 127))
+
+
+def test_augment_noop_config(rng):
+    imgs, msks = _toy_batch(rng)
+    cfg = AugmentConfig(hflip_p=0, affine_p=0, gamma_p=0,
+                        brightness_contrast_p=0, elastic_p=0)
+    x, _ = augment_batch(jax.random.PRNGKey(3), imgs, msks, cfg, train=True)
+    xe, _ = augment_batch(jax.random.PRNGKey(3), imgs, msks, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xe), atol=1e-6)
+
+
+def test_collect_pairs_and_split(tmp_path, rng):
+    from att_aspp_unet_tpu.io import write_gray_png
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    for i in range(10):
+        img = (rng.random((16, 16)) * 255).astype(np.uint8)
+        write_gray_png(tmp_path / "images" / f"s{i:02d}.png", img)
+        if i < 7:
+            write_gray_png(tmp_path / "masks" / f"s{i:02d}.png", img > 128)
+    imgs, msks = collect_pairs(tmp_path / "images", tmp_path / "masks")
+    assert len(imgs) == 10
+    assert sum(m is not None for m in msks) == 7
+    (tr_i, tr_m), (va_i, va_m) = positive_only_val_split(imgs, msks, seed=2025)
+    assert len(va_i) == max(1, int(0.1 * 7))
+    assert all(m is not None for m in va_m)        # val is positive-only
+    assert len(tr_i) + len(va_i) == 10
+
+
+def test_epoch_batches_deterministic(rng):
+    ds = ArrayDataset(images=(rng.random((10, 8, 8)) * 255).astype(np.uint8),
+                      masks=np.zeros((10, 8, 8), np.uint8),
+                      is_positive=np.ones(10, bool))
+    b1 = [i.copy() for i, _ in epoch_batches(ds, 4, seed=1, epoch=3)]
+    b2 = [i.copy() for i, _ in epoch_batches(ds, 4, seed=1, epoch=3)]
+    b3 = [i.copy() for i, _ in epoch_batches(ds, 4, seed=1, epoch=4)]
+    assert len(b1) == 2                            # drop_last
+    np.testing.assert_array_equal(b1[0], b2[0])
+    assert not np.array_equal(b1[0], b3[0])
+
+
+def test_lr_schedule_shape():
+    cfg = TrainConfig(epochs=20, lr=1e-3, warmup_frac=0.05)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(2e-4, rel=1e-3)     # 0.2·lr
+    warm_steps = max(1, int(0.05 * 20)) * 10
+    assert float(sched(warm_steps)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(199)) < 1e-4                             # cosine tail
+    fcfg = TrainConfig(epochs=20, lr=1e-3, stage="finetune")
+    fs = make_lr_schedule(fcfg, steps_per_epoch=10)
+    assert float(fs(0)) == pytest.approx(1e-3, rel=1e-3)        # no warmup
+
+
+def _tiny_cfg(S=32):
+    return Config(
+        preprocess=PreprocessConfig(img_size=S),
+        model=ModelConfig(base_c=4, compute_dtype="float32"),
+        train=TrainConfig(batch_size=4, epochs=2, lr=3e-3,
+                          early_stop_patience=5,
+                          augment=AugmentConfig(affine_p=0, elastic_p=0)),
+    )
+
+
+def _tiny_dataset(rng, n=8, S=32):
+    imgs = (rng.random((n, S, S)) * 60).astype(np.uint8)
+    msks = np.zeros((n, S, S), np.uint8)
+    for i in range(n):
+        cy, cx = rng.integers(10, S - 10, 2)
+        yy, xx = np.mgrid[:S, :S]
+        blob = ((yy - cy) ** 2 + (xx - cx) ** 2) <= 36
+        imgs[i][blob] = 220
+        msks[i][blob] = 255
+    return ArrayDataset(imgs, msks, np.ones(n, bool))
+
+
+def test_fit_smoke(tmp_path, rng):
+    cfg = _tiny_cfg()
+    ds = _tiny_dataset(rng, n=8)
+    val = _tiny_dataset(rng, n=4)
+    out = fit(cfg, ds, val, tmp_path, log=lambda s: None)
+    assert out["epochs_run"] == 2
+    assert Path(out["metrics_csv"]).exists()
+    rows = Path(out["metrics_csv"]).read_text().strip().splitlines()
+    assert len(rows) == 3                          # header + 2 epochs
+    assert out["best_dice"] > 0                    # saved at least once
+    assert Path(out["best_path"]).exists()
+
+
+def test_train_step_improves_loss(rng):
+    cfg = _tiny_cfg()
+    ds = _tiny_dataset(rng, n=4)
+    state = create_train_state(cfg.model, cfg.train, steps_per_epoch=1,
+                               rng=jax.random.PRNGKey(0), sample_hw=(32, 32))
+    step = jax.jit(make_train_step(cfg))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, ds.images, ds.masks, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = _tiny_cfg()
+    state = create_train_state(cfg.model, cfg.train, steps_per_epoch=1,
+                               rng=jax.random.PRNGKey(0), sample_hw=(32, 32))
+    save_checkpoint(tmp_path / "ck", state, {"epoch": 3})
+    state2 = create_train_state(cfg.model, cfg.train, steps_per_epoch=1,
+                                rng=jax.random.PRNGKey(42), sample_hw=(32, 32))
+    restored, extra = load_checkpoint(tmp_path / "ck", state2)
+    assert extra["epoch"] == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params)
+
+
+def test_differential_lr_labels():
+    cfg = _tiny_cfg()
+    tcfg = dataclasses.replace(cfg.train, differential_lr=True)
+    state = create_train_state(cfg.model, tcfg, steps_per_epoch=1,
+                               rng=jax.random.PRNGKey(0), sample_hw=(32, 32))
+    # just ensure the optimizer builds and one update runs
+    cfg2 = dataclasses.replace(cfg, train=tcfg)
+    step = jax.jit(make_train_step(cfg2))
+    imgs = np.zeros((4, 32, 32), np.uint8)
+    msks = np.zeros((4, 32, 32), np.uint8)
+    state, m = step(state, imgs, msks, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
