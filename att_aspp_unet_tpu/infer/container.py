@@ -1,0 +1,132 @@
+"""Grand-Challenge container entrypoint.
+
+Replicates the deployment contract of ``/root/reference/inference.py:50-133``:
+
+- input:  ``<input>/images/stacked-fetal-ultrasound/*.mha|*.tiff`` (one case)
+- env:    ``MODEL_TAG`` = ``baseline`` | ``att_aspp``; ``CASE_ID`` names the
+          output volume
+- output: ``<output>/images/fetal-abdomen-segmentation/<case>.mha`` +
+          ``<output>/fetal-abdomen-frame-number.json``
+- the selected-frame mask is nearest-neighbour resized back to the native
+  (H, W) before writing; optional probability dump + debug frame PNGs.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..io import read_mha, write_gray_png, write_json
+from ..preprocess import enhance_frames
+from .engine import (AttAsppEngine, BaselineEngine, resize_mask_to,
+                     select_mask_and_frame)
+from .outputs import write_segmentation_output
+
+
+def get_image_file_path(location: Path):
+    return glob(str(Path(location) / "*.tiff")) + \
+        glob(str(Path(location) / "*.mha"))
+
+
+def select_labeled_mask_and_frame(seg: np.ndarray):
+    """Class-aware max-area frame pick of the baseline path
+    (``model.py:107-139``): per frame take the larger of the class-1 / class-2
+    areas; the winning frame's mask is binarised; all-empty → (zeros, −1)."""
+    seg = np.asarray(seg)
+    a1 = (seg == 1).sum(axis=(1, 2))
+    a2 = (seg == 2).sum(axis=(1, 2))
+    score = np.maximum(a1, a2)
+    if score.max() == 0:
+        return np.zeros(seg.shape[1:], np.uint8), -1
+    frame = int(np.argmax(score))
+    return (seg[frame] > 0).astype(np.uint8), frame
+
+
+def run(cfg: Config, variables: dict, case_id: Optional[str] = None,
+        save_probabilities: bool = True, debug_frames: bool = True,
+        log=print) -> int:
+    """Process the single case in ``cfg.container.input_path``."""
+    ccfg = cfg.container
+    input_path = Path(ccfg.input_path)
+    output_path = Path(ccfg.output_path)
+    case_id = case_id or ccfg.case_id
+
+    files = get_image_file_path(input_path / "images/stacked-fetal-ultrasound")
+    if not files:
+        raise FileNotFoundError(
+            f"no sweep under {input_path}/images/stacked-fetal-ultrasound")
+    sweep_path = Path(files[0])
+    log(f"predicting on {sweep_path}")
+
+    img = read_mha(sweep_path)
+    sweep = img.array
+    if sweep.ndim != 3:
+        raise ValueError(f"expected 3-D sweep, got {sweep.shape}")
+    n_frames, ref_h, ref_w = sweep.shape
+
+    if debug_frames:
+        dump_dir = output_path / "images"
+        p = cfg.preprocess
+        enhanced = np.asarray(enhance_frames(sweep, p.clahe_clip, p.clahe_grid,
+                                             p.median_kernel))
+        for i in {0, n_frames // 2, n_frames - 1}:
+            lo, hi = sweep[i].min(), sweep[i].max()
+            orig = np.zeros_like(sweep[i], np.uint8) if hi <= lo else np.clip(
+                np.round((sweep[i].astype(np.float64) - lo) * 255.0 / (hi - lo)),
+                0, 255).astype(np.uint8)
+            write_gray_png(dump_dir / f"frame{i:03d}_orig.png", orig)
+            write_gray_png(dump_dir / f"frame{i:03d}_enh.png", enhanced[i])
+
+    if ccfg.model_tag == "att_aspp":
+        engine = AttAsppEngine(cfg, variables)
+        probs = np.asarray(engine.predict_roi(sweep))
+        if save_probabilities:
+            prob_dir = Path("output/probabilities")
+            prob_dir.mkdir(parents=True, exist_ok=True)
+            np.save(prob_dir / f"{sweep_path.stem}_prob.npy", probs)
+        masks = np.asarray(engine.postprocess_roi(probs))
+        mask2d, sub_frame = select_mask_and_frame(masks)
+        # map the subsampled index back to the original frame axis
+        if sub_frame >= 0:
+            idxs = np.linspace(0, n_frames - 1,
+                               min(cfg.predict.subsample_frames, n_frames)
+                               ).astype(int)
+            frame = int(idxs[sub_frame])
+        else:
+            frame = -1
+    else:
+        engine = BaselineEngine(cfg, variables)
+        probs = np.asarray(engine.predict(sweep))
+        if save_probabilities:
+            prob_dir = Path("output/probabilities")
+            prob_dir.mkdir(parents=True, exist_ok=True)
+            np.save(prob_dir / f"{sweep_path.stem}_prob.npy", probs)
+        seg = np.asarray(engine.postprocess(probs))
+        mask2d, frame = select_labeled_mask_and_frame(seg)
+
+    mask2d = resize_mask_to(mask2d, (ref_h, ref_w))
+
+    write_segmentation_output(
+        output_path / "images/fetal-abdomen-segmentation", mask2d, frame,
+        n_frames, filename=f"{case_id}.mha",
+        spacing=(ccfg.spacing_mm,) * 3)
+    write_json(output_path / "fetal-abdomen-frame-number.json", frame)
+    log(f"frame number: {frame}")
+    return 0
+
+
+def run_from_env(cfg: Config, variables: dict, **kw) -> int:
+    """Entry honouring the reference's env-var contract."""
+    import dataclasses
+
+    ccfg = dataclasses.replace(
+        cfg.container,
+        model_tag=os.getenv("MODEL_TAG", cfg.container.model_tag),
+        case_id=os.getenv("CASE_ID", cfg.container.case_id))
+    return run(dataclasses.replace(cfg, container=ccfg), variables,
+               case_id=ccfg.case_id, **kw)

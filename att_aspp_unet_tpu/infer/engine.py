@@ -1,0 +1,179 @@
+"""Sweep inference engines.
+
+One batched XLA program takes a whole ultrasound sweep from raw frames to
+probability maps — the reference's per-frame Python loops (HOT LOOP 1/2 in
+SURVEY.md §3.1) collapse into device code:
+
+- ``AttAsppEngine.predict_full``: the standalone predict path
+  (``…stage.py:483-498``): enhance → resize 512 → hflip-TTA forward →
+  resize back to native → 5×5 Gaussian — for ALL frames at once.
+- ``AttAsppEngine.predict_roi``: the deployment ROI path
+  (``model_attention_aspp.py:41-65``): linspace-subsample 128 frames,
+  intensity-centroid 224² crop, batched forward, paste-back.
+- ``BaselineEngine``: the nnU-Net-style path (``model.py:62-89``):
+  enhance → sliding-window Gaussian-weighted tiles + mirror TTA → (C, N, H, W)
+  softmax probabilities.
+
+Frame batches shard over the mesh's data axis when one is supplied — frames
+are independent, so sweep inference is pure data parallelism over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..measure import measure_ac_mm
+from ..models import AttentionASPPUNet, PlainConvUNet, sliding_window_predict
+from ..ops.image import gaussian_blur, resize_bilinear, resize_nearest
+from ..postprocess import (postprocess_roi_stack, postprocess_softmax_stack,
+                           refine_mask, select_best_frame,
+                           select_max_area_frame)
+from ..preprocess import crop_roi, enhance_frames, paste_roi_probs
+from ..preprocess.enhance import preprocess_sweep
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "hflip"))
+def forward_probs_tta(apply_fn: Callable, variables, x: jax.Array,
+                      hflip: bool = True) -> jax.Array:
+    """(B, S, S, C) → sigmoid probabilities (B, S, S); logits averaged over
+    the horizontal-flip TTA pair (``predict_prob_tta``, ``…stage.py:336-338``)."""
+
+    def logits_of(inp):
+        out = apply_fn(variables, inp)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out.astype(jnp.float32)
+
+    l = logits_of(x)
+    if hflip:
+        l_flip = logits_of(jnp.flip(x, axis=2))
+        l = (l + jnp.flip(l_flip, axis=2)) / 2.0
+    return jax.nn.sigmoid(l)[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "batch", "hflip"))
+def predict_sweep_probs(apply_fn: Callable, variables, frames: jax.Array,
+                        batch: int = 8, hflip: bool = True) -> jax.Array:
+    """(N, S, S) float frames → (N, S, S) probabilities, micro-batched with
+    ``lax.map`` to bound activation memory while keeping one compiled program."""
+    N, S1, S2 = frames.shape
+    pad = (-N) % batch
+    fp = jnp.pad(frames, ((0, pad), (0, 0), (0, 0)))
+    nb = (N + pad) // batch
+    tiles = fp.reshape(nb, batch, S1, S2)[..., None]
+
+    probs = jax.lax.map(
+        lambda t: forward_probs_tta(apply_fn, variables, t, hflip), tiles)
+    return probs.reshape(nb * batch, S1, S2)[:N]
+
+
+class AttAsppEngine:
+    """Attention-ASPP-UNet inference over full sweeps or single frames."""
+
+    def __init__(self, cfg: Config, variables: dict,
+                 model: Optional[AttentionASPPUNet] = None):
+        self.cfg = cfg
+        self.variables = {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})}
+        self.model = model or AttentionASPPUNet.from_config(cfg.model)
+        self._apply = functools.partial(self.model.apply, train=False)
+
+    # ---------------- full-frame (predict CLI) path ----------------
+
+    def predict_full(self, sweep: np.ndarray) -> jax.Array:
+        """Raw (N, H, W) sweep → (N, H, W) float32 probabilities at native
+        resolution (blurred, ready for thresholding)."""
+        p = self.cfg.preprocess
+        x = preprocess_sweep(jnp.asarray(sweep), p.img_size, p.clahe_clip,
+                             p.clahe_grid, p.median_kernel)
+        probs = predict_sweep_probs(self._apply, self.variables, x,
+                                    self.cfg.predict.frame_batch,
+                                    self.cfg.predict.tta_hflip)
+        native = resize_bilinear(probs, sweep.shape[-2:])
+        return gaussian_blur(native, self.cfg.predict.gaussian_kernel, 0.0)
+
+    def refine(self, probs: jax.Array, threshold: Optional[float] = None
+               ) -> jax.Array:
+        thr = self.cfg.predict.threshold if threshold is None else threshold
+        pc = self.cfg.predict
+        binary = (probs > thr).astype(jnp.uint8)
+        return refine_mask(binary, pc.min_area_px, pc.min_area_frac,
+                           pc.close_kernel)
+
+    def select_best(self, masks: jax.Array) -> int:
+        return int(select_best_frame(masks, self.cfg.predict.topk_frames))
+
+    def measure(self, mask: np.ndarray, spacing: Tuple[float, float]) -> float:
+        return measure_ac_mm(np.asarray(mask), spacing)
+
+    # ---------------- ROI (container) path ----------------
+
+    def predict_roi(self, sweep: np.ndarray) -> jax.Array:
+        """Raw (N, H, W) sweep → (n_sub, H, W) probabilities via the
+        128-frame / 224² ROI deployment path."""
+        p = self.cfg.preprocess
+        pc = self.cfg.predict
+        enhanced = enhance_frames(jnp.asarray(sweep), p.clahe_clip,
+                                  p.clahe_grid, p.median_kernel)
+        vol = enhanced.astype(jnp.float32) / 255.0
+
+        n = vol.shape[0]
+        idxs = np.linspace(0, n - 1, min(pc.subsample_frames, n)).astype(int)
+        sub = vol[jnp.asarray(idxs)]
+
+        patches, origins = crop_roi(sub, pc.roi_size)
+        probs_roi = predict_sweep_probs(self._apply, self.variables, patches,
+                                        pc.frame_batch, hflip=False)
+        return paste_roi_probs(probs_roi, origins, vol.shape[-2:])
+
+    def postprocess_roi(self, probs: jax.Array) -> jax.Array:
+        return postprocess_roi_stack(probs, 0.05)
+
+
+class BaselineEngine:
+    """PlainConvUNet + sliding-window tiled inference (nnU-Net-style path)."""
+
+    def __init__(self, cfg: Config, variables: dict,
+                 model: Optional[PlainConvUNet] = None):
+        self.cfg = cfg
+        self.variables = {"params": variables["params"]}
+        self.model = model or PlainConvUNet.from_config(cfg.plain_unet)
+        self._apply = functools.partial(self.model.apply, train=False)
+
+    def predict(self, sweep: np.ndarray) -> jax.Array:
+        """Raw (N, H, W) sweep → (C, N, H, W) softmax probabilities."""
+        p = self.cfg.preprocess
+        pu = self.cfg.plain_unet
+        x = preprocess_sweep(jnp.asarray(sweep), None, p.clahe_clip,
+                             p.clahe_grid, p.median_kernel)
+        probs = sliding_window_predict(self._apply, self.variables, x,
+                                       tuple(pu.patch_size), pu.tile_step,
+                                       pu.use_gaussian, pu.use_mirroring)
+        return jnp.transpose(probs, (1, 0, 2, 3))       # (N,C,H,W)→(C,N,H,W)
+
+    def postprocess(self, probabilities: jax.Array) -> jax.Array:
+        return postprocess_softmax_stack(probabilities, 0.5)
+
+
+def select_mask_and_frame(mask_stack: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Max-area frame pick with the −1/empty contract
+    (``select_fetal_abdomen_mask_and_frame``)."""
+    if np.ndim(mask_stack) == 2:
+        return (np.asarray(mask_stack) > 0).astype(np.uint8), 0
+    sel, frame = select_max_area_frame(jnp.asarray(mask_stack))
+    return np.asarray(sel), int(frame)
+
+
+def resize_mask_to(mask: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour paste-back to native resolution
+    (``inference.py:95-103``)."""
+    if mask.shape == tuple(hw):
+        return (mask > 0).astype(np.uint8)
+    out = resize_nearest(jnp.asarray(mask), tuple(hw))
+    return (np.asarray(out) > 0).astype(np.uint8)

@@ -1,0 +1,128 @@
+"""Standalone prediction over a directory of PNGs / MHA sweeps.
+
+The ``predict`` subcommand of the reference CLI (``…stage.py:399-523``):
+
+- PNG/JPG: enhance → 512² TTA forward → resize back → blur → threshold
+  (``thr.json`` else 0.48) → refine → write ``<stem>_mask.png``; AC from a
+  ``--spacing_json`` map keyed by case id (stem up to ``_s<frame>``).
+- MHA: the same per-frame, then top-5-area frames re-ranked by circularity,
+  per-case ``output.mha`` + frame JSON; AC from the volume's header spacing.
+- accumulates ``ac_results.csv`` (case_id, frame_idx, ac_mm).
+
+Unlike the reference (one 512² forward per frame, batch 1 — HOT LOOP in
+SURVEY.md §3.3), sweeps run as one batched device program.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..io import read_gray_png, read_json, read_mha, write_gray_png
+from .engine import AttAsppEngine
+from .outputs import write_output_mha_and_json
+
+
+def load_threshold(cfg: Config, thr_path: Path = Path("./checkpoints/thr.json"),
+                   log=print) -> float:
+    """thr.json override with the reference's silent-fallback semantics."""
+    if Path(thr_path).exists():
+        try:
+            thr = float(read_json(thr_path)["best_thr"])
+            log(f"use thr {thr:.3f}")
+            return thr
+        except Exception:
+            pass
+    return cfg.predict.threshold
+
+
+def spacing_from_map(spacing_map: Dict, case_id: str
+                     ) -> Optional[Tuple[float, float]]:
+    """Accepts both ``{'spacing': [sx, sy, ...]}`` and ``[sx, sy, ...]``
+    values (``…stage.py:422-433``)."""
+    if case_id not in spacing_map:
+        return None
+    v = spacing_map[case_id]
+    if isinstance(v, dict) and "spacing" in v:
+        sx, sy = v["spacing"][:2]
+    elif isinstance(v, (list, tuple)) and len(v) >= 2:
+        sx, sy = v[:2]
+    else:
+        return None
+    return float(sx), float(sy)
+
+
+def split_case_frame(stem: str) -> Tuple[str, int]:
+    """``<case>_s<frame>`` naming → (case, frame); plain stems → (stem, −1)."""
+    if "_s" in stem:
+        case = stem.split("_s")[0]
+        try:
+            return case, int(stem.split("_s")[1])
+        except Exception:
+            return case, -1
+    return stem, -1
+
+
+def predict_directory(cfg: Config, variables: dict, input_dir: Path,
+                      out_dir: Path, spacing_json: Optional[Path] = None,
+                      threshold: Optional[float] = None, log=print
+                      ) -> List[Tuple[str, int, float]]:
+    engine = AttAsppEngine(cfg, variables)
+    thr = threshold if threshold is not None else load_threshold(cfg, log=log)
+
+    spacing_map = {}
+    if spacing_json:
+        try:
+            spacing_map = read_json(spacing_json)
+            log(f"loaded spacing map ({len(spacing_map)})")
+        except Exception as e:
+            log(f"cannot load spacing_json: {e}")
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rows: List[Tuple[str, int, float]] = []
+
+    for p in sorted(Path(input_dir).iterdir()):
+        ext = p.suffix.lower()
+        if ext in {".png", ".jpg", ".jpeg"}:
+            sl = read_gray_png(p)
+            probs = engine.predict_full(sl[None])
+            mask = np.asarray(engine.refine(probs, thr))[0]
+            write_gray_png(out_dir / f"{p.stem}_mask.png", mask * 255)
+
+            case_id, frame_idx = split_case_frame(p.stem)
+            sp = spacing_from_map(spacing_map, case_id)
+            if sp is None:
+                log(f"no spacing for {case_id}, skip AC")
+            else:
+                ac = round(engine.measure(mask, sp), 1)
+                rows.append((case_id, frame_idx, ac))
+                log(f"{p.stem}: AC={ac:.1f} mm")
+
+        elif ext == ".mha":
+            img = read_mha(p)
+            vol = img.array
+            probs = engine.predict_full(vol)
+            masks = np.asarray(engine.refine(probs, thr))
+            best = engine.select_best(masks)
+            best_mask = masks[best]
+
+            write_output_mha_and_json(out_dir, p.stem, best_mask, best, img)
+            sx, sy = float(img.spacing[0]), float(img.spacing[1])
+            ac = round(engine.measure(best_mask, (sx, sy)), 1)
+            rows.append((p.stem, int(best), ac))
+            log(f"{p.stem}: best_frame={best}, AC={ac:.1f} mm")
+
+    if rows:
+        csv_path = out_dir / "ac_results.csv"
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["case_id", "frame_idx", "ac_mm"])
+            w.writerows(rows)
+        log(f"AC saved → {csv_path} ({len(rows)})")
+    return rows

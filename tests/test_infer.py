@@ -1,0 +1,242 @@
+"""End-to-end inference: engines, container contract, predict CLI, calibrate.
+
+Random weights suffice to validate shapes and the output contract
+(SURVEY.md §7 step 3); value parity comes from the torch-import tests.
+"""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import pytest
+
+from att_aspp_unet_tpu.config import (CalibrateConfig, Config, ContainerConfig,
+                                      ModelConfig, PlainUNetConfig,
+                                      PredictConfig, PreprocessConfig)
+from att_aspp_unet_tpu.infer.calibrate import calibrate
+from att_aspp_unet_tpu.infer.container import run, select_labeled_mask_and_frame
+from att_aspp_unet_tpu.infer.engine import (AttAsppEngine, BaselineEngine,
+                                            resize_mask_to,
+                                            select_mask_and_frame)
+from att_aspp_unet_tpu.infer.predict_cli import (load_threshold,
+                                                 predict_directory,
+                                                 spacing_from_map,
+                                                 split_case_frame)
+from att_aspp_unet_tpu.io import MetaImage, read_json, read_mha, write_mha, \
+    write_gray_png
+from att_aspp_unet_tpu.models import AttentionASPPUNet, PlainConvUNet
+
+
+def _tiny_cfg():
+    return Config(
+        preprocess=PreprocessConfig(img_size=64),
+        model=ModelConfig(base_c=4, compute_dtype="float32"),
+        plain_unet=PlainUNetConfig(base_c=4, max_c=16, n_stages=3,
+                                   patch_size=(32, 32),
+                                   compute_dtype="float32"),
+        predict=PredictConfig(frame_batch=4, roi_size=32, subsample_frames=6),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_att():
+    cfg = _tiny_cfg()
+    model = AttentionASPPUNet.from_config(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    return cfg, variables
+
+
+@pytest.fixture(scope="module")
+def tiny_baseline():
+    cfg = _tiny_cfg()
+    model = PlainConvUNet.from_config(cfg.plain_unet)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32), train=False)
+    return cfg, variables
+
+
+def _sweep(rng, n=5, h=40, w=48):
+    s = (rng.random((n, h, w)) * 200).astype(np.uint8)
+    s[2, 10:30, 10:38] = 250          # bright blob on frame 2
+    return s
+
+
+def test_predict_full_shapes(tiny_att, rng):
+    cfg, variables = tiny_att
+    sweep = _sweep(rng)
+    eng = AttAsppEngine(cfg, variables)
+    probs = np.asarray(eng.predict_full(sweep))
+    assert probs.shape == sweep.shape
+    assert probs.min() >= 0 and probs.max() <= 1
+    masks = np.asarray(eng.refine(probs, 0.5))
+    assert masks.shape == sweep.shape
+    assert set(np.unique(masks)).issubset({0, 1})
+
+
+def test_predict_roi_shapes(tiny_att, rng):
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, n=9)
+    eng = AttAsppEngine(cfg, variables)
+    probs = np.asarray(eng.predict_roi(sweep))
+    assert probs.shape == (6, 40, 48)        # subsampled to 6 frames
+    masks = np.asarray(eng.postprocess_roi(probs))
+    nonzero_frames = (masks.sum((1, 2)) > 0).sum()
+    assert nonzero_frames <= 1               # only the selected frame
+
+
+def test_baseline_engine(tiny_baseline, rng):
+    cfg, variables = tiny_baseline
+    sweep = _sweep(rng, n=3)
+    eng = BaselineEngine(cfg, variables)
+    probs = np.asarray(eng.predict(sweep))
+    assert probs.shape == (3, 3, 40, 48)     # (C, N, H, W)
+    np.testing.assert_allclose(probs.sum(axis=0), 1.0, atol=1e-4)
+    seg = np.asarray(eng.postprocess(probs))
+    assert seg.shape == (3, 40, 48)
+    assert set(np.unique(seg)).issubset({0, 1, 2})
+
+
+def test_select_mask_and_frame():
+    stack = np.zeros((4, 8, 8), np.uint8)
+    stack[2, 1:5, 1:5] = 1
+    sel, fr = select_mask_and_frame(stack)
+    assert fr == 2 and sel.sum() == 16
+    sel, fr = select_mask_and_frame(np.zeros((4, 8, 8), np.uint8))
+    assert fr == -1 and sel.sum() == 0
+    sel, fr = select_mask_and_frame(np.ones((8, 8), np.uint8))
+    assert fr == 0
+
+
+def test_select_labeled_mask_and_frame():
+    seg = np.zeros((3, 8, 8), np.uint8)
+    seg[0, :2, :2] = 1                       # class1 area 4
+    seg[1, :3, :4] = 2                       # class2 area 12 ← winner
+    m, fr = select_labeled_mask_and_frame(seg)
+    assert fr == 1 and m.sum() == 12 and set(np.unique(m)).issubset({0, 1})
+    m, fr = select_labeled_mask_and_frame(np.zeros((2, 4, 4), np.uint8))
+    assert fr == -1
+
+
+def test_resize_mask_roundtrip():
+    m = np.zeros((10, 10), np.uint8)
+    m[2:8, 2:8] = 1
+    up = resize_mask_to(m, (25, 31))
+    assert up.shape == (25, 31) and set(np.unique(up)).issubset({0, 1})
+
+
+def _make_case_dir(tmp_path, rng, n=6, h=40, w=48):
+    in_dir = tmp_path / "input/images/stacked-fetal-ultrasound"
+    in_dir.mkdir(parents=True)
+    sweep = _sweep(rng, n, h, w)
+    write_mha(in_dir / "case-0001_1_0000.mha",
+              MetaImage(sweep, spacing=(0.28, 0.28, 0.28)))
+    return sweep
+
+
+@pytest.mark.parametrize("tag", ["att_aspp", "baseline"])
+def test_container_run_contract(tiny_att, tiny_baseline, tmp_path, rng, tag):
+    cfg, var_att = tiny_att
+    _, var_base = tiny_baseline
+    sweep = _make_case_dir(tmp_path, rng)
+    ccfg = ContainerConfig(input_path=str(tmp_path / "input"),
+                           output_path=str(tmp_path / "output"),
+                           model_tag=tag, case_id="case42")
+    cfg2 = dataclasses.replace(cfg, container=ccfg)
+    variables = var_att if tag == "att_aspp" else var_base
+
+    rc = run(cfg2, variables, save_probabilities=False, debug_frames=True,
+             log=lambda *a: None)
+    assert rc == 0
+
+    out_mha = tmp_path / "output/images/fetal-abdomen-segmentation/case42.mha"
+    out_json = tmp_path / "output/fetal-abdomen-frame-number.json"
+    assert out_mha.exists() and out_json.exists()
+
+    vol = read_mha(out_mha)
+    assert vol.array.shape == sweep.shape
+    assert vol.array.dtype == np.uint8
+    assert set(np.unique(vol.array)).issubset({0, 2})
+    assert vol.spacing == pytest.approx((0.28, 0.28, 0.28))
+
+    frame = json.loads(out_json.read_text())
+    assert isinstance(frame, int) and -1 <= frame < sweep.shape[0]
+    if frame >= 0:
+        assert (vol.array[frame] > 0).any()
+        others = np.delete(vol.array, frame, axis=0)
+        assert others.sum() == 0
+    # debug frame dumps
+    assert (tmp_path / "output/images/frame000_orig.png").exists()
+
+
+def test_predict_directory(tiny_att, tmp_path, rng):
+    cfg, variables = tiny_att
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    img = (rng.random((40, 48)) * 255).astype(np.uint8)
+    write_gray_png(in_dir / "caseA_s3.png", img)
+    sweep = _sweep(rng, 4)
+    write_mha(in_dir / "caseB.mha", MetaImage(sweep, spacing=(0.3, 0.3, 0.3)))
+    spacing_json = tmp_path / "spacing.json"
+    spacing_json.write_text(json.dumps({"caseA": {"spacing": [0.28, 0.28]}}))
+
+    rows = predict_directory(cfg, variables, in_dir, tmp_path / "out",
+                             spacing_json=spacing_json, threshold=0.5,
+                             log=lambda *a: None)
+    assert (tmp_path / "out/caseA_s3_mask.png").exists()
+    assert (tmp_path / "out/caseB/images/fetal-abdomen-segmentation/output.mha").exists()
+    assert (tmp_path / "out/caseB/fetal-abdomen-frame-number.json").exists()
+    csv_path = tmp_path / "out/ac_results.csv"
+    assert csv_path.exists()
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "case_id,frame_idx,ac_mm"
+    assert len(lines) == 1 + len(rows)
+    cases = {r[0] for r in rows}
+    assert "caseA" in cases and "caseB" in cases
+
+
+def test_split_case_frame_and_spacing_map():
+    assert split_case_frame("uuid_s17") == ("uuid", 17)
+    assert split_case_frame("plain") == ("plain", -1)
+    assert split_case_frame("x_sbad") == ("x", -1)
+    m = {"a": [0.1, 0.2], "b": {"spacing": [0.3, 0.4, 1.0]}, "c": 5}
+    assert spacing_from_map(m, "a") == (0.1, 0.2)
+    assert spacing_from_map(m, "b") == (0.3, 0.4)
+    assert spacing_from_map(m, "c") is None
+    assert spacing_from_map(m, "missing") is None
+
+
+def test_load_threshold(tmp_path):
+    cfg = _tiny_cfg()
+    assert load_threshold(cfg, tmp_path / "none.json",
+                          log=lambda *a: None) == 0.48
+    (tmp_path / "thr.json").write_text('{"best_thr": 0.37}')
+    assert load_threshold(cfg, tmp_path / "thr.json",
+                          log=lambda *a: None) == 0.37
+    (tmp_path / "bad.json").write_text("not json")
+    assert load_threshold(cfg, tmp_path / "bad.json",
+                          log=lambda *a: None) == 0.48
+
+
+def test_calibrate(tiny_att, tmp_path, rng):
+    cfg, variables = tiny_att
+    cfg = dataclasses.replace(cfg, calibrate=CalibrateConfig(
+        thr_lo=0.3, thr_hi=0.7, thr_steps=5, with_ci=True))
+    val = tmp_path / "val"
+    (val / "images").mkdir(parents=True)
+    (val / "masks").mkdir()
+    for i in range(3):
+        img = (rng.random((40, 48)) * 255).astype(np.uint8)
+        msk = np.zeros((40, 48), np.uint8)
+        msk[10:30, 10:30] = 255
+        write_gray_png(val / "images" / f"v{i}.png", img)
+        write_gray_png(val / "masks" / f"v{i}.png", msk)
+
+    out = calibrate(cfg, variables, val, tmp_path / "ck", log=lambda *a: None)
+    assert 0.3 <= out["best_thr"] <= 0.7
+    thr = read_json(tmp_path / "ck/thr.json")
+    assert thr["best_thr"] == out["best_thr"]
+    assert (tmp_path / "ck/calibrate_curve.csv").exists()
+    assert (tmp_path / "ck/calibrate_raw.csv").exists()
