@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: sweep-inference throughput of the flagship Attention-ASPP-UNet.
+
+Measures the end-to-end per-frame rate of the full predict pipeline on one
+chip — device preprocess (min-max → CLAHE → median-3 → resize 512²) → bf16
+hflip-TTA forward → resize back to native → 5×5 Gaussian — i.e. the
+reference's HOT LOOPs 1+2 (SURVEY.md §3.1/§3.3) fused into batched XLA.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 500 — the BASELINE.md north star of ≥500 frames/s
+at 512² per chip (the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=140)      # one sweep
+    ap.add_argument("--height", type=int, default=562)
+    ap.add_argument("--width", type=int, default=744)
+    ap.add_argument("--img-size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--base-c", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-tta", action="store_true")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="skip preprocess/postprocess, bench the net alone")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.config import Config, ModelConfig, PredictConfig, \
+        PreprocessConfig
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine, \
+        predict_sweep_probs
+    from att_aspp_unet_tpu.models import AttentionASPPUNet
+
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+
+    cfg = Config(
+        preprocess=PreprocessConfig(img_size=args.img_size),
+        model=ModelConfig(base_c=args.base_c),
+        predict=PredictConfig(frame_batch=args.batch,
+                              tta_hflip=not args.no_tta),
+    )
+    model = AttentionASPPUNet.from_config(cfg.model)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.img_size, args.img_size, 1), jnp.float32),
+        train=False)
+
+    sweep = (rng.random((args.frames, args.height, args.width)) * 255
+             ).astype(np.uint8)
+
+    if args.forward_only:
+        x = jnp.asarray(rng.random(
+            (args.frames, args.img_size, args.img_size)).astype(np.float32))
+        apply_fn = lambda v, inp: model.apply(v, inp, train=False)
+        run = lambda: predict_sweep_probs(
+            apply_fn, variables, x, args.batch, not args.no_tta
+        ).block_until_ready()
+        metric = "forward_frames_per_sec_512"
+    else:
+        engine = AttAsppEngine(cfg, variables)
+        run = lambda: engine.predict_full(sweep).block_until_ready()
+        metric = "sweep_frames_per_sec_512"
+
+    t0 = time.time()
+    run()  # compile + warm
+    print(f"[bench] compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = args.frames / best
+    print(f"[bench] times={['%.3f' % t for t in times]} "
+          f"fps={fps:.1f} sweep/s={fps / args.frames:.2f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
