@@ -1,0 +1,372 @@
+"""Unified command-line interface.
+
+One typed CLI replacing the reference's scattered per-script parsers
+(``attention_aspp_unet_pipeline_stage.py:539-550``, ``test_ablation.py:883-
+911``, plus six standalone scripts): train / calibrate / predict /
+infer-container / eval-seg / eval-ac / vis-errors / convert / split /
+leak-check / dataset-report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _base_config(args) -> "Config":
+    from .config import (CalibrateConfig, Config, LossConfig, ModelConfig,
+                         PredictConfig, TrainConfig)
+
+    model = ModelConfig(
+        base_c=getattr(args, "base_c", 48),
+        use_att=not getattr(args, "no_att", False),
+        use_aspp=not getattr(args, "no_aspp", False),
+        att_depth=getattr(args, "att_depth", 4),
+        gate_variant=getattr(args, "gate", "v1"),
+    )
+    loss = LossConfig(edge_weight=getattr(args, "edge_w", 0.05),
+                      neg_bce_weight=getattr(args, "neg_bce_w", 0.05))
+    train = TrainConfig(
+        seed=getattr(args, "seed", 2025),
+        stage=getattr(args, "stage", "main"),
+        batch_size=getattr(args, "batch_size", 8),
+        epochs=getattr(args, "epochs", 120),
+        lr=getattr(args, "lr", 3e-4),
+        differential_lr=getattr(args, "differential_lr", False),
+        loss=loss,
+    )
+    return Config(model=model, train=train)
+
+
+def load_variables(weights: Path, cfg, img_size: int = 64):
+    """Load model variables from an Orbax checkpoint dir or a torch .pt."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models import AttentionASPPUNet
+
+    model = AttentionASPPUNet.from_config(cfg.model)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, img_size, img_size, cfg.model.in_channels)),
+                      train=False)
+    weights = Path(weights)
+    if weights.suffix in (".pt", ".pth"):
+        from .utils.torch_import import load_torch_checkpoint
+        return load_torch_checkpoint(weights, cfg.model, init)
+    # orbax checkpoint directory
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(str(weights.absolute()))
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {})}
+
+
+def cmd_train(args) -> int:
+    from .train.data import (ArrayDataset, collect_pairs,
+                             positive_only_val_split)
+    from .train.train_loop import fit
+
+    cfg = _base_config(args)
+    imgs, msks = collect_pairs(Path(args.train_dir) / "images",
+                               Path(args.train_dir) / "masks")
+    if args.neg_dir:
+        neg_imgs, _ = collect_pairs(Path(args.neg_dir) / "images", None)
+        imgs += neg_imgs
+        msks += [None] * len(neg_imgs)
+    pos = sum(m is not None for m in msks)
+    print(f"Train samples: pos={pos}, neg={len(msks) - pos}")
+
+    if args.val_dir:
+        val_imgs, val_msks = collect_pairs(Path(args.val_dir) / "images",
+                                           Path(args.val_dir) / "masks")
+        tr_pair = (imgs, msks)
+    else:
+        tr_pair, (val_imgs, val_msks) = positive_only_val_split(
+            imgs, msks, cfg.train.seed, cfg.train.val_frac)
+
+    S = cfg.preprocess.img_size
+    train_ds = ArrayDataset.from_paths(*tr_pair, S)
+    val_ds = ArrayDataset.from_paths(val_imgs, val_msks, S)
+
+    init_variables = None
+    if args.stage == "finetune":
+        if not args.pretrained:
+            raise SystemExit("--pretrained required for --stage finetune")
+        init_variables = load_variables(Path(args.pretrained), cfg, S)
+        print(f"loaded pretrained {args.pretrained}")
+
+    out = fit(cfg, train_ds, val_ds, Path(args.output_dir),
+              init_variables=init_variables)
+    print(f"best Dice {out['best_dice']:.4f} → {out['best_path']}")
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    from .config import CalibrateConfig
+    from .infer.calibrate import calibrate
+
+    cfg = _base_config(args)
+    cfg = dataclasses.replace(cfg, calibrate=CalibrateConfig(with_ci=args.ci))
+    variables = load_variables(Path(args.weights), cfg,
+                               cfg.preprocess.img_size)
+    calibrate(cfg, variables, Path(args.val_dir), Path(args.output_dir))
+    return 0
+
+
+def cmd_predict(args) -> int:
+    from .infer.predict_cli import predict_directory
+
+    cfg = _base_config(args)
+    variables = load_variables(Path(args.weights), cfg,
+                               cfg.preprocess.img_size)
+    predict_directory(cfg, variables, Path(args.input_dir), Path(args.out_dir),
+                      spacing_json=Path(args.spacing_json)
+                      if args.spacing_json else None,
+                      threshold=args.thr)
+    return 0
+
+
+def cmd_infer_container(args) -> int:
+    from .config import ContainerConfig
+    from .infer.container import run_from_env
+
+    cfg = _base_config(args)
+    cfg = dataclasses.replace(cfg, container=ContainerConfig(
+        input_path=args.input, output_path=args.output,
+        model_tag=args.model_tag, case_id=args.case_id))
+    if args.weights:
+        variables = load_variables(Path(args.weights), cfg,
+                                   cfg.preprocess.img_size)
+    else:
+        # contract smoke-testing without a checkpoint: random init
+        import jax
+        import jax.numpy as jnp
+
+        if args.model_tag == "baseline":
+            from .models import PlainConvUNet
+            model = PlainConvUNet.from_config(cfg.plain_unet)
+        else:
+            from .models import AttentionASPPUNet
+            model = AttentionASPPUNet.from_config(cfg.model)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)), train=False)
+        print("[warn] no --weights given: using random init (smoke mode)")
+    return run_from_env(cfg, variables)
+
+
+def cmd_eval_seg(args) -> int:
+    from .evals.seg_metrics import evaluate_directories
+
+    evaluate_directories(Path(args.gt), Path(args.base), Path(args.new),
+                         out_csv=Path(args.out_csv),
+                         new_suffix=args.new_suffix,
+                         plot_dir=Path(args.plot_dir) if args.plot else None)
+    return 0
+
+
+def cmd_eval_ac(args) -> int:
+    from .evals.ac_analysis import analyze_ac
+
+    analyze_ac(args.gt, args.baseline, args.new, args.out,
+               frames_per_sweep=args.fps)
+    return 0
+
+
+def cmd_vis_errors(args) -> int:
+    from .evals.visualize import render_worst_cases
+
+    render_worst_cases(Path(args.csv), Path(args.gt), Path(args.base),
+                       Path(args.new), Path(args.out),
+                       img_dir=Path(args.images) if args.images else None,
+                       top=args.top, alpha=args.alpha, edge=args.edge)
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from .tools.convert import convert_frames_with_negatives
+
+    convert_frames_with_negatives(
+        args.mha_root, args.out_root, topk=args.topk,
+        neighbor_pad=args.neighbor_pad, min_area_mm2=args.min_area_mm2,
+        min_area_px=args.min_area_px, neg_strategy=args.neg_strategy,
+        neg_ratio=args.neg_ratio, neg_cap=args.neg_cap,
+        neg_stride=args.neg_stride, seed=args.seed,
+        export_neg_only=args.export_neg_only,
+        neg_total_cap=args.neg_total_cap)
+    return 0
+
+
+def cmd_split(args) -> int:
+    from .tools.split import split_train_val
+
+    split_train_val(args.raw_root, args.out_root, args.train_frac, args.seed)
+    return 0
+
+
+def cmd_leak_check(args) -> int:
+    from .tools.leak_check import check_split_leak
+
+    res = check_split_leak(args.train, args.val, args.out,
+                           recursive=args.recursive, by_stem=args.by_stem)
+    return 1 if res["present"] else 0
+
+
+def cmd_dataset_report(args) -> int:
+    from .evals.reports import (load_flat_images_masks, load_from_directory,
+                                load_from_frame_index, make_dataset_reports)
+
+    if args.frame_index:
+        df = load_from_frame_index(Path(args.frame_index))
+    elif args.flat_root:
+        df = load_flat_images_masks(Path(args.flat_root),
+                                    split_name_override=args.flat_split_name)
+    elif args.root:
+        df = load_from_directory(Path(args.root))
+    else:
+        raise SystemExit("one of --frame_index / --flat_root / --root required")
+    if df.empty:
+        raise SystemExit("no frames found")
+    make_dataset_reports(df, Path(args.outdir))
+    return 0
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("att-aspp-unet-tpu",
+                                description=__doc__)
+    sp = p.add_subparsers(dest="cmd", required=True)
+
+    def model_flags(q):
+        q.add_argument("--base_c", type=int, default=48)
+        q.add_argument("--no_att", action="store_true")
+        q.add_argument("--no_aspp", action="store_true")
+        q.add_argument("--att_depth", type=int, default=4)
+        q.add_argument("--gate", choices=["v1", "v2"], default="v1")
+
+    t = sp.add_parser("train")
+    t.add_argument("--stage", choices=["main", "finetune"], default="main")
+    t.add_argument("--seed", type=int, default=2025)
+    t.add_argument("--train_dir", required=True)
+    t.add_argument("--neg_dir")
+    t.add_argument("--val_dir")
+    t.add_argument("--output_dir", default="./checkpoints")
+    t.add_argument("--pretrained")
+    t.add_argument("--epochs", type=int, default=120)
+    t.add_argument("--batch_size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--edge_w", type=float, default=0.05)
+    t.add_argument("--neg_bce_w", type=float, default=0.05)
+    t.add_argument("--differential_lr", action="store_true")
+    model_flags(t)
+    t.set_defaults(fn=cmd_train)
+
+    ca = sp.add_parser("calibrate")
+    ca.add_argument("--weights", required=True)
+    ca.add_argument("--val_dir", required=True)
+    ca.add_argument("--output_dir", default="./checkpoints")
+    ca.add_argument("--ci", action="store_true")
+    model_flags(ca)
+    ca.set_defaults(fn=cmd_calibrate)
+
+    pr = sp.add_parser("predict")
+    pr.add_argument("--weights", required=True)
+    pr.add_argument("--input_dir", required=True)
+    pr.add_argument("--out_dir", default="./preds")
+    pr.add_argument("--spacing_json")
+    pr.add_argument("--thr", type=float)
+    model_flags(pr)
+    pr.set_defaults(fn=cmd_predict)
+
+    ic = sp.add_parser("infer-container")
+    ic.add_argument("--input", default="./test/input")
+    ic.add_argument("--output", default="./test/output")
+    ic.add_argument("--model-tag", default="baseline",
+                    choices=["baseline", "att_aspp"])
+    ic.add_argument("--case-id", default="output")
+    ic.add_argument("--weights")
+    model_flags(ic)
+    ic.set_defaults(fn=cmd_infer_container)
+
+    es = sp.add_parser("eval-seg")
+    es.add_argument("--gt", required=True)
+    es.add_argument("--base", required=True)
+    es.add_argument("--new", required=True)
+    es.add_argument("--out_csv", default="seg_eval.csv")
+    es.add_argument("--new_suffix", default="_mask")
+    es.add_argument("--plot", action="store_true")
+    es.add_argument("--plot_dir", default="plots")
+    es.set_defaults(fn=cmd_eval_seg)
+
+    ea = sp.add_parser("eval-ac")
+    ea.add_argument("--gt", required=True)
+    ea.add_argument("--baseline", required=True)
+    ea.add_argument("--new", required=True)
+    ea.add_argument("--out", default="ac_analysis_results")
+    ea.add_argument("--fps", type=int, default=140)
+    ea.set_defaults(fn=cmd_eval_ac)
+
+    ve = sp.add_parser("vis-errors")
+    ve.add_argument("--csv", required=True)
+    ve.add_argument("--gt", required=True)
+    ve.add_argument("--base", required=True)
+    ve.add_argument("--new", required=True)
+    ve.add_argument("--out", default="vis")
+    ve.add_argument("--images")
+    ve.add_argument("--top", type=int, default=10)
+    ve.add_argument("--alpha", type=float, default=0.35)
+    ve.add_argument("--edge", type=int, default=2)
+    ve.set_defaults(fn=cmd_vis_errors)
+
+    cv = sp.add_parser("convert")
+    cv.add_argument("--mha_root", required=True)
+    cv.add_argument("--out_root", required=True)
+    cv.add_argument("--topk", type=int, default=3)
+    cv.add_argument("--neighbor_pad", type=int, default=0)
+    cv.add_argument("--min_area_mm2", type=float, default=80.0)
+    cv.add_argument("--min_area_px", type=int, default=100)
+    cv.add_argument("--neg_strategy", default="random",
+                    choices=["all", "random", "stride"])
+    cv.add_argument("--neg_ratio", type=float, default=0.0)
+    cv.add_argument("--neg_cap", type=int, default=5)
+    cv.add_argument("--neg_stride", type=int, default=5)
+    cv.add_argument("--seed", type=int, default=2025)
+    cv.add_argument("--export_neg_only", action="store_true")
+    cv.add_argument("--neg_total_cap", type=int, default=0)
+    cv.set_defaults(fn=cmd_convert)
+
+    spx = sp.add_parser("split")
+    spx.add_argument("--raw_root", default="./raw")
+    spx.add_argument("--out_root", default=".")
+    spx.add_argument("--train_frac", type=float, default=0.8)
+    spx.add_argument("--seed", type=int, default=42)
+    spx.set_defaults(fn=cmd_split)
+
+    lc = sp.add_parser("leak-check")
+    lc.add_argument("--train", default="train/images")
+    lc.add_argument("--val", default="val/images")
+    lc.add_argument("--out", default="check_results")
+    lc.add_argument("-r", "--recursive", action="store_true")
+    lc.add_argument("--by-stem", action="store_true")
+    lc.set_defaults(fn=cmd_leak_check)
+
+    dr = sp.add_parser("dataset-report")
+    dr.add_argument("--frame_index")
+    dr.add_argument("--flat_root")
+    dr.add_argument("--flat_split_name")
+    dr.add_argument("--root")
+    dr.add_argument("--outdir", default="reports")
+    dr.set_defaults(fn=cmd_dataset_report)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
