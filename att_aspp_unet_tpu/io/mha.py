@@ -134,7 +134,7 @@ def read_mha(path) -> MetaImage:
         declared = header.get("CompressedDataSize")
         if declared is not None:
             blob = blob[: int(declared)]
-        data = zlib.decompress(blob, bufsize=n_bytes)
+        data = _inflate(blob, n_bytes)
         # ITK may write multiple zlib streams for >4GB data; not needed here.
         if len(data) < n_bytes:
             raise ValueError(f"{path}: decompressed {len(data)} < expected {n_bytes} bytes")
@@ -208,7 +208,7 @@ def write_mha(path, image: MetaImage, compressed: bool = True,
     ]
     payload = arr.tobytes()
     if compressed:
-        payload = zlib.compress(payload, compression_level)
+        payload = _deflate(payload, compression_level)
         lines.append(f"CompressedDataSize = {len(payload)}")
     lines += [
         "TransformMatrix = " + " ".join(_fmt(v) for v in transform),
@@ -229,3 +229,27 @@ def write_mha(path, image: MetaImage, compressed: bool = True,
 def _fmt(v: float) -> str:
     s = f"{float(v):.10g}"
     return s
+
+
+def _inflate(blob: bytes, n_bytes: int) -> bytes:
+    """Native single-shot inflate into a preallocated buffer when the C++
+    host-ops library is available; Python zlib otherwise."""
+    try:
+        from ..utils import native
+        out = native.inflate(blob, n_bytes)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return zlib.decompress(blob, bufsize=n_bytes)
+
+
+def _deflate(data: bytes, level: int) -> bytes:
+    try:
+        from ..utils import native
+        out = native.deflate(data, level)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return zlib.compress(data, level)

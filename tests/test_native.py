@@ -1,0 +1,89 @@
+"""Native C++ host ops vs the Python/NumPy/JAX reference paths."""
+
+import zlib
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from att_aspp_unet_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_inflate_deflate_roundtrip(rng):
+    data = (rng.random(100000) * 255).astype(np.uint8).tobytes()
+    comp = native.deflate(data, 6)
+    assert comp is not None
+    # interoperable with Python zlib both ways
+    assert zlib.decompress(comp) == data
+    back = native.inflate(zlib.compress(data, 6), len(data))
+    assert back == data
+
+
+def test_clahe_matches_oracle(rng):
+    from .oracles import clahe_oracle
+
+    img = (rng.random((48, 48)) * 255).astype(np.uint8)
+    got = native.clahe_u8(img, 1.0, (8, 8))
+    want = clahe_oracle(img, 1.0, (8, 8))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.02
+
+
+def test_median3_matches_oracle(rng):
+    from .oracles import median3_oracle
+
+    img = (rng.random((30, 41)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(native.median3_u8(img), median3_oracle(img))
+
+
+def test_label_matches_scipy(rng):
+    m = (rng.random((48, 48)) < 0.35).astype(np.uint8)
+    labels, n = native.label(m, 8)
+    want, wn = ndi.label(m, structure=np.ones((3, 3), np.uint8))
+    assert n == wn
+    fg = m > 0
+    pairs = set(zip(labels[fg].tolist(), want[fg].tolist()))
+    assert len(pairs) == n
+
+
+def test_largest_component(rng):
+    m = np.zeros((40, 40), np.uint8)
+    m[2:8, 2:8] = 1
+    m[20:36, 20:36] = 1
+    out, size = native.largest_component(m, 8)
+    assert size == 256
+    assert out[25, 25] == 1 and out[4, 4] == 0
+
+
+def test_fill_holes(rng):
+    m = np.zeros((30, 30), np.uint8)
+    m[5:25, 5:25] = 1
+    m[10:18, 10:18] = 0
+    got = native.fill_holes(m)
+    want = ndi.binary_fill_holes(m).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_trace_contour_matches_python():
+    from att_aspp_unet_tpu.measure import arc_length, trace_contour
+
+    yy, xx = np.mgrid[:48, :48]
+    m = (((yy - 24) ** 2 + (xx - 24) ** 2) <= 15 ** 2).astype(np.uint8)
+    c_native = native.trace_contour(m)
+    c_py = trace_contour(m)
+    assert len(c_native) == len(c_py)
+    np.testing.assert_array_equal(c_native, c_py)
+    assert abs(arc_length(c_native) - arc_length(c_py)) < 1e-9
+
+
+def test_mha_native_roundtrip(tmp_path, rng):
+    """The MHA codec should produce identical volumes whichever zlib runs."""
+    from att_aspp_unet_tpu.io import MetaImage, read_mha, write_mha
+
+    arr = (rng.random((4, 20, 24)) * 255).astype(np.uint8)
+    p = tmp_path / "x.mha"
+    write_mha(p, MetaImage(arr), compressed=True)
+    np.testing.assert_array_equal(read_mha(p).array, arr)
