@@ -109,15 +109,39 @@ def _predict_roi_impl(apply_fn, variables, sweep, idxs, clahe_clip,
 
 
 class AttAsppEngine:
-    """Attention-ASPP-UNet inference over full sweeps or single frames."""
+    """Attention-ASPP-UNet inference over full sweeps or single frames.
+
+    With a ``mesh``, the frame axis of the sweep shards over the mesh's data
+    axis: frames are independent, so sweep inference is pure data parallelism
+    over ICI — the ≥500-frames/s scaling story of SURVEY.md §2.  Without a
+    mesh everything runs on the default device.
+    """
 
     def __init__(self, cfg: Config, variables: dict,
-                 model: Optional[AttentionASPPUNet] = None):
+                 model: Optional[AttentionASPPUNet] = None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            self.variables = jax.device_put(self.variables, replicate(mesh))
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
+
+    def _stage_frames(self, frames: jax.Array):
+        """Shard (pad) the frame axis over the mesh; returns (array, n_pad)."""
+        if self.mesh is None:
+            return jnp.asarray(frames), 0
+        from ..parallel.mesh import batch_sharding
+        d = self.mesh.shape[self.mesh.axis_names[0]]
+        n = frames.shape[0]
+        pad = (-n) % (d * self.cfg.predict.frame_batch)
+        arr = np.asarray(frames)
+        if pad:
+            arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:],
+                                                arr.dtype)])
+        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim)), pad
 
     # ---------------- full-frame (predict CLI) path ----------------
 
@@ -125,11 +149,13 @@ class AttAsppEngine:
         """Raw (N, H, W) sweep → (N, H, W) float32 probabilities at native
         resolution (blurred, ready for thresholding)."""
         p = self.cfg.preprocess
-        return _predict_full_impl(
-            self._apply, self.variables, jnp.asarray(sweep), p.img_size,
+        staged, pad = self._stage_frames(sweep)
+        out = _predict_full_impl(
+            self._apply, self.variables, staged, p.img_size,
             p.clahe_clip, p.clahe_grid, p.median_kernel,
             self.cfg.predict.frame_batch, self.cfg.predict.tta_hflip,
             self.cfg.predict.gaussian_kernel)
+        return out[: out.shape[0] - pad] if pad else out
 
     def refine(self, probs: jax.Array, threshold: Optional[float] = None
                ) -> jax.Array:

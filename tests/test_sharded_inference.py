@@ -1,0 +1,59 @@
+"""Mesh-sharded sweep inference on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from att_aspp_unet_tpu.config import (Config, MeshConfig, ModelConfig,
+                                      PredictConfig, PreprocessConfig)
+from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+from att_aspp_unet_tpu.models import AttentionASPPUNet
+from att_aspp_unet_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        preprocess=PreprocessConfig(img_size=32),
+        model=ModelConfig(base_c=4, compute_dtype="float32"),
+        predict=PredictConfig(frame_batch=2),
+    )
+    model = AttentionASPPUNet.from_config(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 1), np.float32), train=False)
+    return cfg, variables
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_matches_unsharded(setup, rng):
+    cfg, variables = setup
+    sweep = (rng.random((16, 24, 28)) * 255).astype(np.uint8)
+
+    single = AttAsppEngine(cfg, variables)
+    ref = np.asarray(single.predict_full(sweep))
+
+    mesh = make_mesh(MeshConfig())
+    assert mesh.shape["data"] == 8
+    sharded = AttAsppEngine(cfg, variables, mesh=mesh)
+    got = np.asarray(sharded.predict_full(sweep))
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_pads_ragged_frame_counts(setup, rng):
+    cfg, variables = setup
+    # 7 frames over an 8-wide data axis with micro-batch 2 → padding required
+    sweep = (rng.random((7, 24, 28)) * 255).astype(np.uint8)
+    mesh = make_mesh(MeshConfig())
+    eng = AttAsppEngine(cfg, variables, mesh=mesh)
+    out = np.asarray(eng.predict_full(sweep))
+    assert out.shape == sweep.shape
+
+    ref = np.asarray(AttAsppEngine(cfg, variables).predict_full(sweep))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
