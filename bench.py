@@ -31,7 +31,13 @@ def main() -> int:
     ap.add_argument("--no-tta", action="store_true")
     ap.add_argument("--forward-only", action="store_true",
                     help="skip preprocess/postprocess, bench the net alone")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the data-parallel train step instead "
+                         "(BASELINE config 5)")
     args = ap.parse_args()
+
+    if args.train:
+        return _bench_train(args)
 
     import numpy as np
     import jax
@@ -100,6 +106,63 @@ def main() -> int:
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 500.0, 3),
+    }))
+    return 0
+
+
+def _bench_train(args) -> int:
+    """Training-step throughput: augment→fwd→bwd→update at 512², batch 8
+    (the reference's training configuration), sharded over the mesh."""
+    import numpy as np
+    import jax
+
+    from att_aspp_unet_tpu.config import (AugmentConfig, Config, ModelConfig,
+                                          PreprocessConfig, TrainConfig)
+    from att_aspp_unet_tpu.parallel.mesh import (batch_sharding,
+                                                 make_mesh_for_batch,
+                                                 replicate)
+    from att_aspp_unet_tpu.config import MeshConfig
+    from att_aspp_unet_tpu.train.train_loop import (create_train_state,
+                                                    make_train_step)
+
+    S = args.img_size
+    B = 8
+    cfg = Config(preprocess=PreprocessConfig(img_size=S),
+                 model=ModelConfig(base_c=args.base_c),
+                 train=TrainConfig(batch_size=B))
+    mesh = make_mesh_for_batch(MeshConfig(), B)
+    rep = replicate(mesh)
+    data_sh = batch_sharding(mesh, 3)
+    state = create_train_state(cfg.model, cfg.train, steps_per_epoch=100,
+                               rng=jax.random.PRNGKey(0), sample_hw=(S, S))
+    state = jax.device_put(state, rep)
+    step = jax.jit(make_train_step(cfg),
+                   in_shardings=(rep, data_sh, data_sh, rep),
+                   out_shardings=(rep, rep))
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put((rng.random((B, S, S)) * 255).astype(np.uint8),
+                          data_sh)
+    msks = np.zeros((B, S, S), np.uint8)
+    msks[:, S // 4: 3 * S // 4, S // 4: 3 * S // 4] = 255
+    msks = jax.device_put(msks, data_sh)
+    key = jax.random.PRNGKey(1)
+
+    state, m = step(state, imgs, msks, key)
+    float(jax.device_get(m["loss"]))
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        state, m = step(state, imgs, msks, key)
+        float(jax.device_get(m["loss"]))
+        times.append(time.time() - t0)
+    med = sorted(times)[len(times) // 2]
+    sps = B / med
+    print(f"[bench] train times={['%.3f' % t for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_samples_per_sec_512_bs8",
+        "value": round(sps, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / 100.0, 3),
     }))
     return 0
 
