@@ -21,7 +21,8 @@ from typing import Optional
 import numpy as np
 
 from ..config import Config
-from ..io import read_mha, write_gray_png, write_json
+from ..io import write_gray_png, write_json
+from ..io.volume import read_volume
 from ..preprocess import enhance_frames
 from .engine import (AttAsppEngine, BaselineEngine, resize_mask_to,
                      select_mask_and_frame)
@@ -63,7 +64,7 @@ def run(cfg: Config, variables: dict, case_id: Optional[str] = None,
     sweep_path = Path(files[0])
     log(f"predicting on {sweep_path}")
 
-    img = read_mha(sweep_path)
+    img = read_volume(sweep_path, default_spacing=ccfg.spacing_mm)
     sweep = img.array
     if sweep.ndim != 3:
         raise ValueError(f"expected 3-D sweep, got {sweep.shape}")
