@@ -34,6 +34,7 @@ class AttentionASPPUNet(nn.Module):
     gate_variant: str = "v1"
     aspp_rates: Tuple[int, ...] = (6, 12, 18)
     aspp_dropout: float = 0.1
+    remat: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -44,6 +45,7 @@ class AttentionASPPUNet(nn.Module):
             base_c=cfg.base_c, use_att=cfg.use_att, use_aspp=cfg.use_aspp,
             att_depth=cfg.att_depth, gate_variant=cfg.gate_variant,
             aspp_rates=tuple(cfg.aspp_rates), aspp_dropout=cfg.aspp_dropout,
+            remat=getattr(cfg, "remat", False),
             dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
         )
 
@@ -67,9 +69,22 @@ class AttentionASPPUNet(nn.Module):
         c = self.base_c
         x = x.astype(self.dtype)
 
+        # jax.checkpoint on every stage: activations recompute in the
+        # backward pass instead of living in HBM (SURVEY.md §0 "use remat to
+        # trade FLOPs for memory"); param names are unchanged so checkpoints
+        # are interchangeable between remat on/off.
+        # static_argnums=(2,): the `train` flag must stay a Python bool
+        # through the remat trace (BatchNorm branches on it)
+        if self.remat:
+            CBR = nn.remat(ConvBNReLU, static_argnums=(2,))
+            UP = nn.remat(UpBlock, static_argnums=(3,))
+            BRIDGE = nn.remat(ASPP, static_argnums=(2,))
+        else:
+            CBR, UP, BRIDGE = ConvBNReLU, UpBlock, ASPP
+
         def enc(h, feats, name):
-            h = ConvBNReLU(feats, name=f"{name}_0", **kw)(h, train)
-            return ConvBNReLU(feats, name=f"{name}_1", **kw)(h, train)
+            h = CBR(feats, name=f"{name}_0", **kw)(h, train)
+            return CBR(feats, name=f"{name}_1", **kw)(h, train)
 
         x1 = enc(x, c, "d1")
         x2 = enc(nn.max_pool(x1, (2, 2), (2, 2)), c * 2, "d2")
@@ -78,16 +93,17 @@ class AttentionASPPUNet(nn.Module):
         hb = nn.max_pool(x4, (2, 2), (2, 2))
 
         if self.use_aspp:
-            b = ASPP(c * 16, rates=self.aspp_rates, dropout=self.aspp_dropout,
-                     name="bridge", **kw)(hb, train)
+            b = BRIDGE(c * 16, rates=self.aspp_rates,
+                       dropout=self.aspp_dropout,
+                       name="bridge", **kw)(hb, train)
         else:
-            b = ConvBNReLU(c * 16, name="bridge_conv", **kw)(hb, train)
+            b = CBR(c * 16, name="bridge_conv", **kw)(hb, train)
             b = nn.Dropout(self.aspp_dropout, deterministic=not train)(b)
 
         def up(level, feats, g, skip):
-            return UpBlock(feats, use_att=self._gated(level),
-                           gate_variant=self.gate_variant,
-                           name=f"u{level}", **kw)(g, skip, train)
+            return UP(feats, use_att=self._gated(level),
+                      gate_variant=self.gate_variant,
+                      name=f"u{level}", **kw)(g, skip, train)
 
         d4, psi3 = up(4, c * 8, b, x4)
         d3, psi2 = up(3, c * 4, d4, x3)

@@ -152,38 +152,59 @@ def make_eval_step(cfg: Config):
     return eval_step
 
 
+def _state_ckpt_tree(state: TrainState):
+    return {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": np.asarray(int(state.step), np.int32)}
+
+
 def save_checkpoint(path: Path, state: TrainState, extra: Optional[Dict] = None):
+    """Full train-state checkpoint (params + batch stats + optimizer + step).
+    ``extra`` metadata goes to a JSON side file so the pytree structure stays
+    fixed for template-based restore."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
-    ckpt = {"params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "opt_state": jax.device_get(state.opt_state),
-            "step": int(state.step)}
-    if extra:
-        ckpt["extra"] = extra
-    ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
+    ocp.PyTreeCheckpointer().save(path, _state_ckpt_tree(state), force=True)
+    side = Path(str(path) + ".extra.json")
+    side.write_text(json.dumps(extra or {}))
 
 
 def load_checkpoint(path: Path, state: TrainState) -> Tuple[TrainState, Dict]:
+    """Restore into the structure of ``state`` (keeps optax NamedTuple
+    optimizer-state types, which a raw restore would flatten to dicts)."""
+    import json
+
     import orbax.checkpoint as ocp
 
-    restored = ocp.PyTreeCheckpointer().restore(str(Path(path).absolute()))
+    path = Path(path).absolute()
+    template = _state_ckpt_tree(state)
+    restored = ocp.PyTreeCheckpointer().restore(str(path), item=template)
     new = dataclasses.replace(
         state,
         params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
         batch_stats=jax.tree_util.tree_map(jnp.asarray,
                                            restored["batch_stats"]),
-        opt_state=jax.tree_util.tree_map(
-            jnp.asarray, restored.get("opt_state", state.opt_state)),
-        step=jnp.asarray(restored.get("step", 0), jnp.int32))
-    return new, restored.get("extra", {})
+        opt_state=jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
+        step=jnp.asarray(restored["step"], jnp.int32))
+    side = Path(str(path) + ".extra.json")
+    extra = json.loads(side.read_text()) if side.exists() else {}
+    return new, extra
 
 
 def fit(cfg: Config, train_ds: ArrayDataset, val_ds: ArrayDataset,
         output_dir: Path, mesh=None, init_variables: Optional[dict] = None,
+        resume: bool = True,
         log: Callable[[str], None] = print) -> Dict[str, Any]:
-    """Full training run; returns {"best_dice", "best_path", "epochs_run"}."""
+    """Full training run; returns {"best_dice", "best_path", "epochs_run"}.
+
+    ``resume=True``: if a ``last`` checkpoint exists under the stage output
+    dir, restore model+optimizer+epoch and continue — full-state resume the
+    reference lacked (it only kept ``model.state_dict()``, SURVEY.md §5).
+    """
     tcfg = cfg.train
     mesh = mesh if mesh is not None else make_mesh_for_batch(cfg.mesh,
                                                              tcfg.batch_size)
@@ -210,15 +231,27 @@ def fit(cfg: Config, train_ds: ArrayDataset, val_ds: ArrayDataset,
                                   else "ckpt_finetune")
     out_dir.mkdir(parents=True, exist_ok=True)
     best, best_path, noimp = 0.0, out_dir / "best", 0
+    last_path = out_dir / "last"
+    start_epoch = 1
+
+    if resume and last_path.exists():
+        state, extra = load_checkpoint(last_path, state)
+        state = jax.device_put(state, rep)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        best = float(extra.get("best", 0.0))
+        noimp = int(extra.get("noimp", 0))
+        log(f"resumed from {last_path} at epoch {start_epoch} "
+            f"(best Dice {best:.4f})")
 
     csv_path = out_dir / "metrics.csv"
-    csv_file = open(csv_path, "w", newline="")
+    csv_file = open(csv_path, "a" if start_epoch > 1 else "w", newline="")
     writer = csv.writer(csv_file)
-    writer.writerow(["epoch", "train_loss", "val_loss", "train_dice",
-                     "val_dice", "train_iou", "val_iou", "secs"])
+    if start_epoch == 1:
+        writer.writerow(["epoch", "train_loss", "val_loss", "train_dice",
+                         "val_dice", "train_iou", "val_iou", "secs"])
 
-    epochs_run = 0
-    for epoch in range(1, tcfg.epochs + 1):
+    epochs_run = start_epoch - 1
+    for epoch in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
         tr_metrics = []
         for imgs, msks in epoch_batches(train_ds, tcfg.batch_size, tcfg.seed,
@@ -251,9 +284,11 @@ def fit(cfg: Config, train_ds: ArrayDataset, val_ds: ArrayDataset,
             log(f"best saved → {best_path}")
         else:
             noimp += 1
-            if noimp >= tcfg.early_stop_patience:
-                log("Early stop")
-                break
+        save_checkpoint(last_path, state, {"epoch": epoch, "best": best,
+                                           "noimp": noimp})
+        if noimp >= tcfg.early_stop_patience:
+            log("Early stop")
+            break
 
     csv_file.close()
     return {"best_dice": best, "best_path": str(best_path),
