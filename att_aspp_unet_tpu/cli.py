@@ -126,7 +126,9 @@ def cmd_predict(args) -> int:
     predict_directory(cfg, variables, Path(args.input_dir), Path(args.out_dir),
                       spacing_json=Path(args.spacing_json)
                       if args.spacing_json else None,
-                      threshold=args.thr)
+                      threshold=args.thr,
+                      slice_metrics=args.slice_metrics,
+                      topk_viz=args.topk_viz)
     return 0
 
 
@@ -277,6 +279,8 @@ def get_parser() -> argparse.ArgumentParser:
     pr.add_argument("--out_dir", default="./preds")
     pr.add_argument("--spacing_json")
     pr.add_argument("--thr", type=float)
+    pr.add_argument("--slice_metrics", action="store_true")
+    pr.add_argument("--topk_viz", action="store_true")
     model_flags(pr)
     pr.set_defaults(fn=cmd_predict)
 

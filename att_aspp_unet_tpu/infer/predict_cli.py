@@ -70,8 +70,12 @@ def split_case_frame(stem: str) -> Tuple[str, int]:
 
 def predict_directory(cfg: Config, variables: dict, input_dir: Path,
                       out_dir: Path, spacing_json: Optional[Path] = None,
-                      threshold: Optional[float] = None, log=print
-                      ) -> List[Tuple[str, int, float]]:
+                      threshold: Optional[float] = None,
+                      slice_metrics: bool = False, topk_viz: bool = False,
+                      log=print) -> List[Tuple[str, int, float]]:
+    """``slice_metrics``/``topk_viz``: per-slice area+circularity CSV and the
+    top-K candidate sheet of the ablation predict variant
+    (``test_ablation.py:763-880``)."""
     engine = AttAsppEngine(cfg, variables)
     thr = threshold if threshold is not None else load_threshold(cfg, log=log)
 
@@ -117,6 +121,24 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
             ac = round(engine.measure(best_mask, (sx, sy)), 1)
             rows.append((p.stem, int(best), ac))
             log(f"{p.stem}: best_frame={best}, AC={ac:.1f} mm")
+
+            if slice_metrics:
+                from ..evals.panels import write_slice_metrics_csv
+                write_slice_metrics_csv(masks,
+                                        out_dir / f"{p.stem}_slices.csv",
+                                        p.stem)
+            if topk_viz:
+                import jax.numpy as jnp
+                from ..evals.panels import save_topk_candidates
+                from ..ops.image import minmax_normalize_u8
+
+                areas = (masks > 0).sum(axis=(1, 2))
+                k = max(1, min(cfg.predict.topk_frames, len(masks)))
+                topk_idx = np.argsort(areas)[::-1][:k].tolist()
+                imgs_u8 = np.asarray(minmax_normalize_u8(jnp.asarray(vol)))
+                save_topk_candidates(imgs_u8, np.asarray(probs), masks,
+                                     topk_idx, best, ac,
+                                     out_dir / f"{p.stem}_topk.png")
 
     if rows:
         csv_path = out_dir / "ac_results.csv"
