@@ -1,0 +1,82 @@
+"""Reference-API compatibility layer.
+
+Drop-in names for code written against the reference modules
+(``model_attention_aspp.py`` / ``model.py``): a ``FetalAbdomenSegmentation``
+class with ``predict(path) → probability map`` and ``postprocess(probs) →
+mask stack``, plus ``select_fetal_abdomen_mask_and_frame``.  Backed by the
+TPU engines; accepts reference ``.pt/.pth`` checkpoints directly.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .config import Config
+from .infer.container import select_labeled_mask_and_frame
+from .infer.engine import AttAsppEngine, BaselineEngine, select_mask_and_frame
+from .io.volume import read_volume
+
+
+class FetalAbdomenSegmentation:
+    """Reference-compatible facade over the TPU inference engines.
+
+    ``model_tag='att_aspp'`` → the ROI deployment path
+    (``model_attention_aspp.py:33-89``); ``model_tag='baseline'`` → the
+    sliding-window PlainConvUNet path (``model.py:19-104``).
+    """
+
+    def __init__(self, checkpoint_path: Optional[str] = "checkpoints/best_model.pth",
+                 model_tag: str = "att_aspp", cfg: Optional[Config] = None,
+                 variables: Optional[dict] = None):
+        self.cfg = cfg or Config()
+        self.model_tag = model_tag
+        if variables is None:
+            if checkpoint_path is None or not Path(checkpoint_path).exists():
+                raise FileNotFoundError(f"checkpoint not found: {checkpoint_path}")
+            from .cli import load_variables
+            variables = load_variables(Path(checkpoint_path), self.cfg)
+        if model_tag == "att_aspp":
+            self._engine = AttAsppEngine(self.cfg, variables)
+        elif model_tag == "baseline":
+            self._engine = BaselineEngine(self.cfg, variables)
+        else:
+            raise ValueError(f"unknown model_tag {model_tag!r}")
+
+    def predict(self, input_img_path, save_probabilities: bool = False
+                ) -> np.ndarray:
+        """Path (or [path]) → probability map: (N, H, W) for att_aspp,
+        (C, N, H, W) softmax for baseline."""
+        if isinstance(input_img_path, (list, tuple)):
+            input_img_path = input_img_path[0]
+        self.case_id = Path(input_img_path).stem
+        vol = read_volume(input_img_path,
+                          default_spacing=self.cfg.container.spacing_mm)
+        if self.model_tag == "att_aspp":
+            probs = np.asarray(self._engine.predict_roi(vol.array))
+        else:
+            probs = np.asarray(self._engine.predict(vol.array))
+        if save_probabilities:
+            out = Path("output/probabilities")
+            out.mkdir(parents=True, exist_ok=True)
+            np.save(out / f"{self.case_id}_prob.npy", probs)
+        return probs
+
+    def postprocess(self, probability_map: np.ndarray) -> np.ndarray:
+        if self.model_tag == "att_aspp":
+            return np.asarray(self._engine.postprocess_roi(
+                np.asarray(probability_map)))
+        return np.asarray(self._engine.postprocess(np.asarray(probability_map)))
+
+
+def select_fetal_abdomen_mask_and_frame(mask_3d: np.ndarray
+                                        ) -> Tuple[np.ndarray, int]:
+    """Max-area frame pick with the −1/empty contract.  Label-aware for the
+    baseline path's {1, 2} class masks (``model.py:107-139``), binary
+    otherwise (``model_attention_aspp.py:91-97``)."""
+    m = np.asarray(mask_3d)
+    if m.ndim == 3 and m.max(initial=0) > 1:
+        return select_labeled_mask_and_frame(m)
+    return select_mask_and_frame(m)
