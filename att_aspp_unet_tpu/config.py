@@ -232,20 +232,6 @@ def save_config(cfg, path: Path) -> None:
     Path(path).write_text(json.dumps(_to_jsonable(cfg), indent=2))
 
 
-def _from_dict(cls, data):
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in data:
-            continue
-        v = data[f.name]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            v = _from_dict(f.type, v)
-        elif isinstance(v, list):
-            v = tuple(v)
-        kwargs[f.name] = v
-    return cls(**kwargs)
-
-
 _NESTED = {
     "preprocess": PreprocessConfig, "model": ModelConfig,
     "plain_unet": PlainUNetConfig, "train": TrainConfig,
