@@ -187,6 +187,16 @@ def measure_ac_mm(mask: np.ndarray, spacing: Tuple[float, float]) -> float:
     m = np.asarray(mask)
     if (m > 0).sum() == 0:
         return 0.0
+    # cv2 fits the LARGEST external contour; restrict to the largest
+    # component so stray blobs don't perturb the fit (the refine pipeline
+    # already guarantees a single component, this covers raw masks)
+    from scipy import ndimage as ndi
+
+    labels, n = ndi.label(m > 0, structure=np.ones((3, 3), np.uint8))
+    if n > 1:
+        sizes = np.bincount(labels.ravel())
+        sizes[0] = 0
+        m = (labels == sizes.argmax()).astype(np.uint8)
     cx, cy, major, minor, valid = (np.asarray(r) for r in
                                    fit_ellipse_mask(m[None]))
     if bool(valid[0]):

@@ -1,0 +1,87 @@
+"""Geometric correctness of the device-side augmentation transforms."""
+
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from att_aspp_unet_tpu.config import AugmentConfig
+from att_aspp_unet_tpu.train.augment import (_inverse_affine, _sample_params,
+                                             _warp)
+
+
+def _centroid(m):
+    ys, xs = np.nonzero(m)
+    return ys.mean(), xs.mean()
+
+
+def _apply_affine(img, params, order=1):
+    H, W = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    M = _inverse_affine(params, H, W)
+    sx = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
+    sy = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
+    return np.asarray(_warp(jnp.asarray(img, jnp.float32), sy, sx, order))
+
+
+def _params(**kw):
+    base = {"do_flip": jnp.bool_(False), "do_affine": jnp.bool_(True),
+            "scale": jnp.float32(1.0), "angle": jnp.float32(0.0),
+            "tx": jnp.float32(0.0), "ty": jnp.float32(0.0)}
+    base.update({k: jnp.asarray(v) for k, v in kw.items()})
+    return base
+
+
+def test_identity_affine():
+    img = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)
+    out = _apply_affine(img, _params())
+    np.testing.assert_allclose(out, img, atol=1e-3)
+
+
+def test_hflip():
+    img = np.zeros((32, 32), np.float32)
+    img[10, 4] = 1.0
+    out = _apply_affine(img, _params(do_flip=True))
+    assert out[10, 32 - 1 - 4] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_translation_moves_content():
+    img = np.zeros((64, 64), np.float32)
+    img[20:28, 20:28] = 1.0
+    # translate_percent 0.1 of W=64 → forward shift +6.4 px in x and y
+    out = _apply_affine(img, _params(tx=0.1, ty=0.1))
+    cy0, cx0 = _centroid(img > 0.5)
+    cy1, cx1 = _centroid(out > 0.5)
+    assert cx1 - cx0 == pytest.approx(6.4, abs=1.0)
+    assert cy1 - cy0 == pytest.approx(6.4, abs=1.0)
+
+
+def test_rotation_moves_offcenter_point():
+    img = np.zeros((65, 65), np.float32)
+    img[32, 52] = 1.0                      # 20 px right of center
+    a = math.radians(30)
+    out = _apply_affine(img, _params(angle=a))
+    cy, cx = np.unravel_index(np.argmax(out), out.shape)
+    # rotation about the center by +30°
+    r = 20.0
+    assert abs(abs(cx - 32) - r * math.cos(a)) < 2.0
+    assert abs(abs(cy - 32) - r * math.sin(a)) < 2.0
+
+
+def test_scale_grows_area():
+    img = np.zeros((64, 64), np.float32)
+    img[24:40, 24:40] = 1.0                # 256 px, centered
+    out = _apply_affine(img, _params(scale=1.25))
+    area = (out > 0.5).sum()
+    assert area == pytest.approx(256 * 1.25 ** 2, rel=0.1)
+
+
+def test_mask_nearest_preserves_binary():
+    img = (np.random.default_rng(0).random((48, 48)) > 0.5).astype(np.float32)
+    out = _apply_affine(img, _params(angle=0.2, scale=1.05), order=0)
+    assert set(np.unique(out)).issubset({0.0, 1.0})
