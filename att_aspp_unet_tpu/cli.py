@@ -369,6 +369,11 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = get_parser().parse_args(argv)
+    try:
+        from .utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
     return args.fn(args)
 
 

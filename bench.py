@@ -43,6 +43,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from att_aspp_unet_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from att_aspp_unet_tpu.config import Config, ModelConfig, PredictConfig, \
         PreprocessConfig
     from att_aspp_unet_tpu.infer.engine import AttAsppEngine, \

@@ -19,6 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def main() -> int:
     from att_aspp_unet_tpu.config import Config
     from att_aspp_unet_tpu.infer.container import run_from_env
+    from att_aspp_unet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = Config()
     weights = os.getenv("WEIGHTS")
