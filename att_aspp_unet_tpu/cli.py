@@ -42,19 +42,38 @@ def _base_config(args) -> "Config":
     return Config(model=model, train=train)
 
 
-def load_variables(weights: Path, cfg, img_size: int = 64):
-    """Load model variables from an Orbax checkpoint dir or a torch .pt."""
+def load_variables(weights: Path, cfg, img_size: int = 64,
+                   model_tag: str = "att_aspp"):
+    """Load model variables from an Orbax checkpoint dir or a torch .pt.
+
+    Dispatches on ``model_tag``: ``att_aspp`` initialises the flagship
+    AttentionASPPUNet and maps its torch layout
+    (``…stage.py:134-141`` key-renaming semantics, handled by
+    ``utils.torch_import``); ``baseline`` initialises PlainConvUNet and maps
+    nnU-Net v2 ``checkpoint_final.pth`` layouts via ``utils.nnunet_import``
+    (reference loader: ``/root/reference/model.py:35-60``)."""
     import jax
     import jax.numpy as jnp
 
-    from .models import AttentionASPPUNet
-
-    model = AttentionASPPUNet.from_config(cfg.model)
-    init = model.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, img_size, img_size, cfg.model.in_channels)),
-                      train=False)
     weights = Path(weights)
+    if not weights.exists():
+        # fail fast — model init below costs a (remote) compile
+        raise FileNotFoundError(f"weights not found: {weights}")
+    if model_tag == "baseline":
+        from .models import PlainConvUNet
+        model = PlainConvUNet.from_config(cfg.plain_unet)
+        in_ch = cfg.plain_unet.in_channels
+    else:
+        from .models import AttentionASPPUNet
+        model = AttentionASPPUNet.from_config(cfg.model)
+        in_ch = cfg.model.in_channels
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, img_size, img_size, in_ch)),
+                      train=False)
     if weights.suffix in (".pt", ".pth"):
+        if model_tag == "baseline":
+            from .utils.nnunet_import import load_nnunet_checkpoint
+            return load_nnunet_checkpoint(weights, cfg.plain_unet, init)
         from .utils.torch_import import load_torch_checkpoint
         return load_torch_checkpoint(weights, cfg.model, init)
     # orbax checkpoint directory
@@ -142,7 +161,8 @@ def cmd_infer_container(args) -> int:
         model_tag=args.model_tag, case_id=args.case_id))
     if args.weights:
         variables = load_variables(Path(args.weights), cfg,
-                                   cfg.preprocess.img_size)
+                                   cfg.preprocess.img_size,
+                                   model_tag=args.model_tag)
     else:
         # contract smoke-testing without a checkpoint: random init
         import jax

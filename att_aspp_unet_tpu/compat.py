@@ -37,7 +37,8 @@ class FetalAbdomenSegmentation:
             if checkpoint_path is None or not Path(checkpoint_path).exists():
                 raise FileNotFoundError(f"checkpoint not found: {checkpoint_path}")
             from .cli import load_variables
-            variables = load_variables(Path(checkpoint_path), self.cfg)
+            variables = load_variables(Path(checkpoint_path), self.cfg,
+                                       model_tag=model_tag)
         if model_tag == "att_aspp":
             self._engine = AttAsppEngine(self.cfg, variables)
         elif model_tag == "baseline":
@@ -75,7 +76,12 @@ def select_fetal_abdomen_mask_and_frame(mask_3d: np.ndarray
                                         ) -> Tuple[np.ndarray, int]:
     """Max-area frame pick with the −1/empty contract.  Label-aware for the
     baseline path's {1, 2} class masks (``model.py:107-139``), binary
-    otherwise (``model_attention_aspp.py:91-97``)."""
+    otherwise (``model_attention_aspp.py:91-97``).
+
+    Like the reference function, the returned index is relative to the stack
+    passed in (for the ROI path that is the *subsampled* axis) — mapping back
+    to the original frame axis is the container layer's job
+    (see PARITY.md "Documented intentional divergences")."""
     m = np.asarray(mask_3d)
     if m.ndim == 3 and m.max(initial=0) > 1:
         return select_labeled_mask_and_frame(m)

@@ -52,6 +52,9 @@ class ModelConfig:
     gate_variant: str = "v1"         # "v1" (BN gate) | "v2" (residual ψ gate)
     aspp_rates: Tuple[int, ...] = (6, 12, 18)
     aspp_dropout: float = 0.1
+    # 'matmul' lowers the dilated branches as nine shifted MXU matmuls
+    # (identical parameters & math; see nn.blocks.DilatedConv3x3Matmul)
+    aspp_impl: str = "matmul"
     # rematerialise encoder/decoder stages in the backward pass (trade FLOPs
     # for activation memory — enables much larger global batches)
     remat: bool = False

@@ -35,16 +35,23 @@ def get_image_file_path(location: Path):
 
 
 def select_labeled_mask_and_frame(seg: np.ndarray):
-    """Class-aware max-area frame pick of the baseline path
-    (``model.py:107-139``): per frame take the larger of the class-1 / class-2
-    areas; the winning frame's mask is binarised; all-empty → (zeros, −1)."""
+    """Class-aware max-area frame pick of the baseline path, replicating the
+    reference's *sequential* if/elif ladder (``model.py:115-130``): per frame,
+    class-1 area is checked first — if it beats the running best it wins the
+    frame even when class 2 in the same frame is larger; class 2 is only
+    consulted otherwise.  The winning frame's mask is binarised; all-empty →
+    (zeros, −1)."""
     seg = np.asarray(seg)
     a1 = (seg == 1).sum(axis=(1, 2))
     a2 = (seg == 2).sum(axis=(1, 2))
-    score = np.maximum(a1, a2)
-    if score.max() == 0:
+    largest, frame = 0, -1
+    for f in range(seg.shape[0]):
+        if a1[f] > largest:
+            largest, frame = int(a1[f]), f
+        elif a2[f] > largest:
+            largest, frame = int(a2[f]), f
+    if frame < 0:
         return np.zeros(seg.shape[1:], np.uint8), -1
-    frame = int(np.argmax(score))
     return (seg[frame] > 0).astype(np.uint8), frame
 
 

@@ -1,15 +1,16 @@
 """Challenge output contract writers.
 
-Byte-layout-faithful to the reference container
-(``/root/reference/inference.py:208-273`` and
-``attention_aspp_unet_pipeline_stage.py:526-536``):
+Byte-layout-faithful to the reference's TWO writer paths:
 
-- ``<out>/images/fetal-abdomen-segmentation/<case>.mha``: uint8 volume,
-  all-zero except the selected frame, mask relabeled 1→2 (ITK-SNAP green),
-  isotropic 0.28 mm spacing (or geometry copied from the reference image),
-  zlib-compressed;
-- ``<out>/fetal-abdomen-frame-number.json``: the selected frame (−1 when no
-  abdomen was found).
+- **Container** (``/root/reference/inference.py:208-255``): the mask is
+  relabeled 1→2 inside ``convert_2d_mask_to_3d`` but then *re-binarised to
+  {0, 1}* before writing (``inference.py:230-235``: ``np.where(array_3d >
+  0.5, 1, 0)`` + binarity assert) — the written volume is uint8 ∈ {0, 1},
+  isotropic 0.28 mm spacing, zlib-compressed, and the reference verifies the
+  write by reading the file back (``inference.py:247-254``), replicated here.
+- **Standalone predict CLI** (``attention_aspp_unet_pipeline_stage.py:526-
+  536``): label 2 survives (ITK-SNAP green), geometry copied from the input
+  volume, uncompressed.
 """
 
 from __future__ import annotations
@@ -19,14 +20,16 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..io import MetaImage, write_json, write_mha
+from ..io import MetaImage, read_mha, write_json, write_mha
 
 
 def convert_2d_mask_to_3d(mask_2d: np.ndarray, frame_number: int,
-                          number_of_frames: int) -> np.ndarray:
-    """Place the (relabeled 1→2) 2-D mask at ``frame_number`` of an otherwise
-    zero (N, H, W) uint8 volume; −1 → all zeros; out-of-range → error."""
-    m = np.where(np.asarray(mask_2d) > 0, 2, 0).astype(np.uint8)
+                          number_of_frames: int,
+                          label: int = 2) -> np.ndarray:
+    """Place the (relabeled 1→``label``) 2-D mask at ``frame_number`` of an
+    otherwise zero (N, H, W) uint8 volume; −1 → all zeros; out-of-range →
+    error (``/root/reference/inference.py:257-273``)."""
+    m = np.where(np.asarray(mask_2d) > 0, label, 0).astype(np.uint8)
     vol = np.zeros((number_of_frames, *m.shape), np.uint8)
     if frame_number == -1:
         return vol
@@ -38,23 +41,47 @@ def convert_2d_mask_to_3d(mask_2d: np.ndarray, frame_number: int,
         f"got {frame_number}.")
 
 
+def _verify_written(path: Path, expected: np.ndarray) -> None:
+    """Write-then-read-back verification, as the reference does after every
+    container write (``/root/reference/inference.py:247-254``)."""
+    check = read_mha(path)
+    arr = np.asarray(check.array)
+    assert arr.shape == expected.shape, (
+        f"read-back shape {arr.shape} != written {expected.shape}")
+    assert arr.dtype == np.uint8, f"read-back dtype {arr.dtype} != uint8"
+    assert np.array_equal(arr, expected), "read-back voxels differ from written"
+
+
 def write_segmentation_output(location: Path, mask_2d: np.ndarray,
                               frame_number: int, number_of_frames: int,
                               filename: str = "output.mha",
                               spacing: Tuple[float, float, float] = (0.28, 0.28, 0.28),
-                              reference: Optional[MetaImage] = None) -> Path:
-    """Write the container's segmentation .mha (compressed uint8)."""
+                              reference: Optional[MetaImage] = None,
+                              binarize: bool = True,
+                              compressed: bool = True,
+                              verify: bool = True) -> Path:
+    """Write a segmentation .mha.
+
+    ``binarize=True`` is the container contract: after the 1→2 relabel the
+    reference re-binarises to {0, 1} and asserts it
+    (``inference.py:230-235``).  ``binarize=False`` keeps label 2 — the
+    standalone CLI contract (``…stage.py:526-529``)."""
     location = Path(location)
     location.mkdir(parents=True, exist_ok=True)
     vol = convert_2d_mask_to_3d(np.squeeze(mask_2d), frame_number,
                                 number_of_frames)
-    # binarity guarantee of the contract (values ⊆ {0, 2} after relabel)
-    assert set(np.unique(vol)).issubset({0, 2}), "non-binary output mask"
+    if binarize:
+        vol = np.where(vol > 0.5, 1, 0).astype(np.uint8)
+        assert set(np.unique(vol)).issubset({0, 1}), "non-binary output mask"
+    else:
+        assert set(np.unique(vol)).issubset({0, 2}), "non-binary output mask"
     img = MetaImage(vol, spacing=tuple(spacing))
     if reference is not None:
         img.copy_information(reference)
     out = location / filename
-    write_mha(out, img, compressed=True)
+    write_mha(out, img, compressed=compressed)
+    if verify:
+        _verify_written(out, vol)
     return out
 
 
@@ -62,11 +89,13 @@ def write_output_mha_and_json(out_dir: Path, case: str, mask_2d: np.ndarray,
                               frame_number: int, reference: MetaImage) -> None:
     """Per-case layout of the standalone predict CLI
     (``…stage.py:530-536``): ``<out>/<case>/images/fetal-abdomen-segmentation/
-    output.mha`` + ``<out>/<case>/fetal-abdomen-frame-number.json``."""
+    output.mha`` + ``<out>/<case>/fetal-abdomen-frame-number.json``.  Keeps
+    the 1→2 relabel and writes uncompressed, as the reference CLI does."""
     case_dir = Path(out_dir) / case
     n_frames = reference.size[2] if len(reference.size) >= 3 else 1
     write_segmentation_output(case_dir / "images/fetal-abdomen-segmentation",
                               mask_2d, frame_number, n_frames,
-                              reference=reference)
+                              reference=reference, binarize=False,
+                              compressed=False)
     write_json(case_dir / "fetal-abdomen-frame-number.json", int(frame_number),
                indent=2)

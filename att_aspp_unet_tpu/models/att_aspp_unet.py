@@ -34,6 +34,7 @@ class AttentionASPPUNet(nn.Module):
     gate_variant: str = "v1"
     aspp_rates: Tuple[int, ...] = (6, 12, 18)
     aspp_dropout: float = 0.1
+    aspp_impl: str = "matmul"
     remat: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -45,6 +46,7 @@ class AttentionASPPUNet(nn.Module):
             base_c=cfg.base_c, use_att=cfg.use_att, use_aspp=cfg.use_aspp,
             att_depth=cfg.att_depth, gate_variant=cfg.gate_variant,
             aspp_rates=tuple(cfg.aspp_rates), aspp_dropout=cfg.aspp_dropout,
+            aspp_impl=getattr(cfg, "aspp_impl", "matmul"),
             remat=getattr(cfg, "remat", False),
             dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
         )
@@ -94,7 +96,7 @@ class AttentionASPPUNet(nn.Module):
 
         if self.use_aspp:
             b = BRIDGE(c * 16, rates=self.aspp_rates,
-                       dropout=self.aspp_dropout,
+                       dropout=self.aspp_dropout, impl=self.aspp_impl,
                        name="bridge", **kw)(hb, train)
         else:
             b = CBR(c * 16, name="bridge_conv", **kw)(hb, train)

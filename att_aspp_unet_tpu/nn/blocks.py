@@ -60,6 +60,47 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+class DilatedConv3x3Matmul(nn.Module):
+    """3×3 dilated conv (rate r, SAME padding, no bias) as nine shifted
+    1×1 matmuls — the MXU-native lowering for small spatial extents.
+
+    At the ASPP bridge the feature map is only (H/16)² (32² at 512² input)
+    while the dilation rate reaches 18: XLA's native dilated-conv lowering
+    pads the input to (H/16 + 2r)² — up to 4.5× wasted MACs — and ran at
+    ~7 % MFU (NOTES.md round-1 ablation).  Nine ``(B·H·W, Cin) @ (Cin,
+    Cout)`` einsum taps over a single padded copy keep every MAC dense on
+    the MXU.  The parameter is named/shaped exactly like ``nn.Conv``'s
+    ``kernel`` (HWIO), so checkpoints are interchangeable between
+    implementations.
+    """
+
+    features: int
+    rate: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype)
+        k = kernel.astype(self.dtype)
+        r = self.rate
+        xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+        H, W = x.shape[1], x.shape[2]
+        out = None
+        for i in range(3):
+            for j in range(3):
+                sl = jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(xp, i * r, i * r + H, axis=1),
+                    j * r, j * r + W, axis=2)
+                t = jnp.einsum("bhwc,co->bhwo", sl, k[i, j],
+                               preferred_element_type=self.dtype)
+                out = t if out is None else out + t
+        return out
+
+
 class ASPP(nn.Module):
     """Atrous spatial pyramid pooling bridge.
 
@@ -70,11 +111,16 @@ class ASPP(nn.Module):
 
     The pooled branch's bilinear upsample of a 1×1 map is exactly a broadcast,
     so we broadcast directly instead of interpolating.
+
+    ``impl='matmul'`` lowers the dilated branches via
+    :class:`DilatedConv3x3Matmul` (same parameters, same math, dense MXU
+    matmuls instead of XLA's padded dilated conv).
     """
 
     features: int
     rates: Sequence[int] = (6, 12, 18)
     dropout: float = 0.1
+    impl: str = "conv"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -90,9 +136,16 @@ class ASPP(nn.Module):
                     param_dtype=self.param_dtype, name="branch0_conv")(x)
         feats.append(nn.relu(bn(h, "branch0_bn")))
         for i, r in enumerate(self.rates, start=1):
-            h = nn.Conv(self.features, (3, 3), padding=r, kernel_dilation=(r, r),
-                        use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name=f"branch{i}_conv")(x)
+            if self.impl == "matmul":
+                h = DilatedConv3x3Matmul(self.features, r, dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name=f"branch{i}_conv")(x)
+            else:
+                h = nn.Conv(self.features, (3, 3), padding=r,
+                            kernel_dilation=(r, r),
+                            use_bias=False, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name=f"branch{i}_conv")(x)
             feats.append(nn.relu(bn(h, f"branch{i}_bn")))
 
         # global-average-pool branch: (B,1,1,C) → conv → BN → ReLU → broadcast

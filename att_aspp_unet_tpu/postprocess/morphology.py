@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .cc import _segmented_min_scan
+from .cc import _fixed_point, _make_propagate
 
 
 def structuring_ellipse(ksize: int) -> np.ndarray:
@@ -92,50 +92,25 @@ def binary_closing(mask: jax.Array, footprint: np.ndarray) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def fill_holes(mask: jax.Array, max_iters: int = 64) -> jax.Array:
-    """scipy.ndimage.binary_fill_holes equivalent (4-connected background)."""
+    """scipy.ndimage.binary_fill_holes equivalent (4-connected background).
+
+    Hole filling IS a connected-components question — which background
+    pixels reach the border — so this reuses the CC labeler's min-propagation
+    machinery (``cc._make_propagate``, 4-connectivity = segmented scans only,
+    no shifts): border background seeds 0, interior background 1, foreground
+    is the wall; after the fixed point, background still holding 1 is
+    enclosed and flips to foreground.
+    """
     fg = mask.astype(bool)
     H, W = fg.shape[-2], fg.shape[-1]
     bg = ~fg
 
     border = jnp.zeros((H, W), bool).at[0, :].set(True).at[-1, :].set(True) \
         .at[:, 0].set(True).at[:, -1].set(True)
-    # 0 = reachable-from-border, 1 = undecided bg, 2 = foreground wall
     seed = jnp.where(bg & border, jnp.int32(0), jnp.int32(1))
-    seed = jnp.where(bg, seed, 2)
+    seed = jnp.where(bg, seed, jnp.int32(2 ** 30))      # fg = +inf wall
 
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    def body(state):
-        v, _, it = state
-        big = jnp.int32(2)
-
-        def shift(arr, dy, dx):
-            out = arr
-            if dy:
-                out = jnp.roll(out, dy, axis=-2)
-                out = out.at[..., :dy, :].set(big) if dy > 0 else \
-                    out.at[..., dy:, :].set(big)
-            if dx:
-                out = jnp.roll(out, dx, axis=-1)
-                out = out.at[..., :, :dx].set(big) if dx > 0 else \
-                    out.at[..., :, dx:].set(big)
-            return out
-
-        m = v
-        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            m = jnp.minimum(m, shift(v, dy, dx))
-        reset = ~bg
-        m = jnp.where(bg, jnp.minimum(m, v), big)
-        m = _segmented_min_scan(m, reset, axis=-1)
-        m = _segmented_min_scan(m, reset, axis=-1, reverse=True)
-        m = _segmented_min_scan(m, reset, axis=-2)
-        m = _segmented_min_scan(m, reset, axis=-2, reverse=True)
-        m = jnp.where(bg, m, big)
-        return m, jnp.any(m != v), it + 1
-
-    vals, _, _ = jax.lax.while_loop(cond, body, (seed, jnp.bool_(True),
-                                                 jnp.int32(0)))
+    propagate = _make_propagate(bg, ndim=2, connectivity=4)
+    vals = _fixed_point(propagate, seed, max_iters)
     unreachable_bg = bg & (vals == 1)
     return (fg | unreachable_bg).astype(jnp.uint8)

@@ -98,7 +98,13 @@ def load_nnunet_checkpoint(path, cfg: PlainUNetConfig, variables: dict,
                            verbose: bool = True) -> dict:
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    # prefer the safe loader; nnU-Net trainer checkpoints embed a few plain
+    # objects (numpy scalars etc.) that weights_only=True may reject, so fall
+    # back to the unsafe path only if the safe one cannot parse the file
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict):
         sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
               for k, v in normalize_nnunet_state_dict(sd).items()

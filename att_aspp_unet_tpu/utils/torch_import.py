@@ -74,9 +74,20 @@ def _mapping_for_config(cfg: ModelConfig) -> List[Tuple[str, str, str]]:
     else:
         cbr("bridge.0", "bridge_conv")
 
+    def gated(level: int) -> bool:
+        # mirror AttentionASPPUNet._gated: v1 gates u4/u3/u2 (u1 ungated,
+        # reference …stage.py:120-121); v2 gates u4/u3 subject to att_depth
+        if not cfg.use_att:
+            return False
+        if cfg.gate_variant == "v1":
+            return level >= 2
+        return level >= 3 and cfg.att_depth >= level
+
     for lvl in (4, 3, 2, 1):
         rules.append((f"u{lvl}.up", f"u{lvl}/up", "convT"))
-        if cfg.gate_variant == "v1":
+        if not gated(lvl):
+            pass
+        elif cfg.gate_variant == "v1":
             rules.append((f"u{lvl}.att.Wg.0", f"u{lvl}/att/Wg_conv", "conv"))
             rules.append((f"u{lvl}.att.Wg.1", f"u{lvl}/att/Wg_bn", "bn"))
             rules.append((f"u{lvl}.att.Wx.0", f"u{lvl}/att/Wx_conv", "conv"))

@@ -29,7 +29,7 @@ def main() -> int:
 
     if weights:
         from att_aspp_unet_tpu.cli import load_variables
-        variables = load_variables(Path(weights), cfg)
+        variables = load_variables(Path(weights), cfg, model_tag=tag)
     else:
         import jax
         import jax.numpy as jnp

@@ -120,6 +120,19 @@ def test_select_labeled_mask_and_frame():
     assert fr == -1
 
 
+def test_select_labeled_sequential_ladder():
+    """Reference model.py:115-130 quirk: class-1 is checked first per frame;
+    when it beats the running best, class 2 of the SAME frame is never
+    consulted — so a later, smaller class-2 region can steal the frame from
+    an earlier frame whose class-2 area was actually the largest overall."""
+    seg = np.zeros((2, 8, 8), np.uint8)
+    seg[0, 0, :5] = 1                        # frame0: a1 = 5 (wins, a2 skipped)
+    seg[0, 1:6, :4] = 2                      # frame0: a2 = 20 (never consulted)
+    seg[1, :2, :4] = 2                       # frame1: a2 = 8 > 5 → steals
+    m, fr = select_labeled_mask_and_frame(seg)
+    assert fr == 1 and m.sum() == 8          # max(a1,a2) logic would pick 0
+
+
 def test_resize_mask_roundtrip():
     m = np.zeros((10, 10), np.uint8)
     m[2:8, 2:8] = 1
@@ -158,7 +171,8 @@ def test_container_run_contract(tiny_att, tiny_baseline, tmp_path, rng, tag):
     vol = read_mha(out_mha)
     assert vol.array.shape == sweep.shape
     assert vol.array.dtype == np.uint8
-    assert set(np.unique(vol.array)).issubset({0, 2})
+    # container contract: re-binarised to {0,1} (reference inference.py:230-235)
+    assert set(np.unique(vol.array)).issubset({0, 1})
     assert vol.spacing == pytest.approx((0.28, 0.28, 0.28))
 
     frame = json.loads(out_json.read_text())
