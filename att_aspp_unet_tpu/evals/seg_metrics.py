@@ -1,199 +1,245 @@
 """Segmentation evaluation: GT vs baseline vs new model.
 
-Metrics and statistics of ``/root/reference/eval_segmentation_batch.py``:
-Dice, IoU, HD95 (erosion boundary + EDT 95th percentile), per-metric
-mean/std/median/min/max, improve ratio, Wilcoxon signed-rank with star
-notation, top/worst-5 listing, ``seg_eval.csv``, optional hist/box plots.
-Case matching is by leading 36-char UUID, recursive over each directory.
+Covers the metrics and statistics of
+``/root/reference/eval_segmentation_batch.py`` — Dice, IoU, HD95 (boundary +
+Euclidean distance transform, 95th percentile), per-metric summary stats,
+improve ratio, Wilcoxon signed-rank significance, best/worst listings, the
+``seg_eval.csv`` contract and optional distribution plots — structured the
+framework's way: one confusion pass feeds both overlap scores, the per-case
+results live in a pandas frame (like ``ac_analysis``), and reporting is a
+generic paired-comparison over metric columns.
+
+The ``seg_eval.csv`` column layout is a contract shared with
+``evals.visualize`` and ``evals.reports.seg_eval_summary``:
+``case,dice_new,iou_new,hd95_new_px,dice_base,iou_base,hd95_base_px,
+dice_diff,iou_diff,hd95_diff``.
 """
 
 from __future__ import annotations
 
-import csv
 import re
-import statistics as st
-from math import isnan
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import pandas as pd
 from scipy import ndimage as ndi
 from scipy import stats as ss
 
 from ..io import read_gray_png
 
 IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"}
-ID_RE = re.compile(r"^([0-9a-f-]{36})", re.I)
+_UUID36 = re.compile(r"^([0-9a-f-]{36})", re.I)
 
+# (column stem, pretty name, unit, higher is better)
+METRICS = (("dice", "Dice", "", True),
+           ("iou", "IoU", "", True),
+           ("hd95", "HD95", "px", False))
+
+
+# --------------------------------------------------------------- indexing
 
 def case_id(stem: str) -> str:
-    m = ID_RE.match(stem)
+    """Leading 36-char UUID of a filename stem (the reference's case key)."""
+    m = _UUID36.match(stem)
     if not m:
         raise ValueError(f"no 36-char UUID prefix in {stem!r}")
     return m.group(1).lower()
 
 
-def _bin(a: np.ndarray) -> np.ndarray:
-    return (np.asarray(a) > 0).astype(np.uint8)
+def index_dir(root: Path, suffix_strip: str = "") -> Dict[str, Path]:
+    """Recursively map case-UUID → image path for one mask directory."""
+    root = Path(root)
+    if not root.exists():
+        return {}
+    return {case_id(p.stem.replace(suffix_strip, "")): p
+            for p in sorted(root.rglob("*"))
+            if p.suffix.lower() in IMG_EXTS}
 
 
-def dice(a, b, eps: float = 1e-7) -> float:
-    a, b = _bin(a), _bin(b)
-    inter = int((a & b).sum())
-    return float((2 * inter + eps) / (a.sum() + b.sum() + eps))
+# --------------------------------------------------------------- metrics
+
+def confusion_counts(pred, gt) -> Tuple[int, int, int]:
+    """(intersection, |pred|, |gt|) — the sufficient statistics for every
+    overlap score."""
+    p = np.asarray(pred) > 0
+    g = np.asarray(gt) > 0
+    return int((p & g).sum()), int(p.sum()), int(g.sum())
 
 
-def iou(a, b, eps: float = 1e-7) -> float:
-    a, b = _bin(a), _bin(b)
-    inter = int((a & b).sum())
-    return float((inter + eps) / (a.sum() + b.sum() - inter + eps))
+def dice(pred, gt, eps: float = 1e-7) -> float:
+    inter, np_, ng = confusion_counts(pred, gt)
+    return float((2 * inter + eps) / (np_ + ng + eps))
+
+
+def iou(pred, gt, eps: float = 1e-7) -> float:
+    inter, np_, ng = confusion_counts(pred, gt)
+    return float((inter + eps) / (np_ + ng - inter + eps))
 
 
 _CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.uint8)
 
 
-def hd95(a, b) -> float:
-    """95th-percentile symmetric boundary distance in pixels (NaN when either
-    mask is empty).  Boundary = mask − cross-erosion (border kept, matching
-    cv2.erode's +inf constant border); distances via EDT."""
-    a, b = _bin(a).astype(bool), _bin(b).astype(bool)
-    if a.sum() == 0 or b.sum() == 0:
+def _surface(mask: np.ndarray) -> np.ndarray:
+    """Boundary pixels: mask minus its cross-erosion (image border counts as
+    foreground, matching cv2.erode's replicated border)."""
+    m = np.asarray(mask) > 0
+    return m & ~ndi.binary_erosion(m, structure=_CROSS, border_value=1)
+
+
+def hd95(pred, gt) -> float:
+    """95th-percentile symmetric surface distance in pixels.  NaN when either
+    mask is empty (the reference skips those pairs the same way)."""
+    p, g = np.asarray(pred) > 0, np.asarray(gt) > 0
+    if not p.any() or not g.any():
         return float("nan")
-    ab = a & ~ndi.binary_erosion(a, structure=_CROSS, border_value=1)
-    bb = b & ~ndi.binary_erosion(b, structure=_CROSS, border_value=1)
-    dta = ndi.distance_transform_edt(~ab)
-    dtb = ndi.distance_transform_edt(~bb)
-    d1 = dtb[ab]
-    d2 = dta[bb]
-    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    sp, sg = _surface(p), _surface(g)
+    to_g = ndi.distance_transform_edt(~sg)[sp]    # pred-surface → gt-surface
+    to_p = ndi.distance_transform_edt(~sp)[sg]
+    return float(max(np.percentile(to_g, 95), np.percentile(to_p, 95)))
 
 
-def index_dir(root: Path, suffix_strip: str = "") -> Dict[str, Path]:
-    idx: Dict[str, Path] = {}
-    root = Path(root)
-    if not root.exists():
-        return idx
-    for p in sorted(root.rglob("*")):
-        if p.suffix.lower() in IMG_EXTS:
-            idx[case_id(p.stem.replace(suffix_strip, ""))] = p
-    return idx
+def score_pair(pred, gt) -> Dict[str, float]:
+    """All per-case metrics for one (prediction, GT) pair."""
+    inter, np_, ng = confusion_counts(pred, gt)
+    eps = 1e-7
+    return {"dice": float((2 * inter + eps) / (np_ + ng + eps)),
+            "iou": float((inter + eps) / (np_ + ng - inter + eps)),
+            "hd95": hd95(pred, gt)}
 
 
-def describe(arr) -> Tuple[float, float, float, float, float]:
-    vals = [x for x in arr if not isnan(x)]
-    sd = st.stdev(vals) if len(vals) > 1 else 0.0
-    return st.mean(vals), sd, st.median(vals), min(vals), max(vals)
+# --------------------------------------------------------------- statistics
+
+def _significance_stars(p: float) -> str:
+    for thr, mark in ((0.001, "***"), (0.01, "**"), (0.05, "*")):
+        if p < thr:
+            return mark
+    return "n.s."
 
 
-def show_metric(name: str, new_arr, base_arr, unit: str = "",
+def paired_comparison(new_vals, base_vals, higher_is_better: bool = True
+                      ) -> dict:
+    """Summary stats + improve ratio + Wilcoxon signed-rank for one metric."""
+    nv = pd.Series(list(new_vals), dtype=float)
+    bv = pd.Series(list(base_vals), dtype=float)
+
+    def stats(s: pd.Series) -> dict:
+        s = s.dropna()
+        return {"mean": s.mean(), "std": s.std(ddof=1) if len(s) > 1 else 0.0,
+                "median": s.median(), "min": s.min(), "max": s.max()}
+
+    wins = (nv > bv) if higher_is_better else (nv < bv)
+    _, p = ss.wilcoxon(nv, bv, alternative="two-sided")
+    return {"new": stats(nv), "base": stats(bv),
+            "improved": int(wins.sum()), "n": len(nv),
+            "wilcoxon_p": float(p), "stars": _significance_stars(float(p))}
+
+
+def show_metric(name: str, new_vals, base_vals, unit: str = "",
                 higher_is_better: bool = True, log=print) -> dict:
-    mn, sn, mdn, minn, maxn = describe(new_arr)
-    mb, sb, mdb, minb, maxb = describe(base_arr)
-    cmp_arr = (np.array(new_arr) > np.array(base_arr)) if higher_is_better \
-        else (np.array(new_arr) < np.array(base_arr))
-    improve_count = int(cmp_arr.sum())
-    improve_ratio = 100.0 * improve_count / len(new_arr)
-
-    _, p = ss.wilcoxon(new_arr, base_arr, alternative="two-sided")
-    stars = "n.s."
-    if p < 0.001:
-        stars = "***"
-    elif p < 0.01:
-        stars = "**"
-    elif p < 0.05:
-        stars = "*"
-
-    log(f"\n{name} {unit}")
-    log(f"  New  : {mn:.4f} ± {sn:.4f} | median {mdn:.4f} | "
-        f"min {minn:.4f} | max {maxn:.4f}")
-    log(f"  Base : {mb:.4f} ± {sb:.4f} | median {mdb:.4f} | "
-        f"min {minb:.4f} | max {maxb:.4f}")
-    log(f"  Improve ratio: {improve_ratio:.1f}% ({improve_count}/{len(new_arr)})")
-    log(f"  Wilcoxon p={p:.4g}  {stars}")
-    return {"new_mean": mn, "base_mean": mb, "improve_ratio": improve_ratio,
-            "wilcoxon_p": float(p), "stars": stars}
+    """Log one paired comparison; returns the summary dict."""
+    c = paired_comparison(new_vals, base_vals, higher_is_better)
+    fmt = ("{mean:.4f} ± {std:.4f} | median {median:.4f} | "
+           "min {min:.4f} | max {max:.4f}")
+    log(f"\n=== {name} {unit}".rstrip())
+    log("  new model : " + fmt.format(**c["new"]))
+    log("  baseline  : " + fmt.format(**c["base"]))
+    pct = 100.0 * c["improved"] / c["n"]
+    log(f"  improved on {c['improved']} of {c['n']} cases ({pct:.1f}%)")
+    log(f"  Wilcoxon signed-rank p = {c['wilcoxon_p']:.4g} [{c['stars']}]")
+    return {"new_mean": c["new"]["mean"], "base_mean": c["base"]["mean"],
+            "improve_ratio": pct, "wilcoxon_p": c["wilcoxon_p"],
+            "stars": c["stars"]}
 
 
-def evaluate_directories(gt_dir: Path, base_dir: Path, new_dir: Path,
-                         out_csv: Optional[Path] = None,
-                         new_suffix: str = "_mask", plot_dir: Optional[Path] = None,
-                         log=print) -> List[tuple]:
-    """Per-case Dice/IoU/HD95 for new + baseline vs GT → rows + seg_eval.csv."""
+# --------------------------------------------------------------- driver
+
+def evaluate_cases(gt_dir: Path, base_dir: Path, new_dir: Path,
+                   new_suffix: str = "_mask", log=print) -> pd.DataFrame:
+    """Per-case metric frame for every UUID present in all three dirs."""
     gt_idx = index_dir(gt_dir)
     base_idx = index_dir(base_dir)
     new_idx = index_dir(new_dir, suffix_strip=new_suffix)
 
-    rows = []
-    for cid, gp in gt_idx.items():
+    records = []
+    for cid, gt_path in gt_idx.items():
         if cid not in base_idx or cid not in new_idx:
             log(f"{cid}: missing prediction, skipped")
             continue
-        gt = read_gray_png(gp)
-        pb = read_gray_png(base_idx[cid])
-        pn = read_gray_png(new_idx[cid])
-        d_n, i_n, h_n = dice(pn, gt), iou(pn, gt), hd95(pn, gt)
-        d_b, i_b, h_b = dice(pb, gt), iou(pb, gt), hd95(pb, gt)
-        rows.append((cid, d_n, i_n, h_n, d_b, i_b, h_b,
-                     d_n - d_b, i_n - i_b, h_n - h_b))
-    if not rows:
+        gt_mask = read_gray_png(gt_path)
+        row = {"case": cid}
+        for tag, path in (("new", new_idx[cid]), ("base", base_idx[cid])):
+            scores = score_pair(read_gray_png(path), gt_mask)
+            row.update({f"{m}_{tag}": scores[m] for m, *_ in METRICS})
+        records.append(row)
+    return pd.DataFrame.from_records(records)
+
+
+def evaluate_directories(gt_dir: Path, base_dir: Path, new_dir: Path,
+                         out_csv: Optional[Path] = None,
+                         new_suffix: str = "_mask",
+                         plot_dir: Optional[Path] = None,
+                         log=print) -> List[tuple]:
+    """Full evaluation: per-case metrics, paired statistics, best/worst
+    cases, ``seg_eval.csv`` and optional plots.  Returns the CSV rows."""
+    df = evaluate_cases(gt_dir, base_dir, new_dir, new_suffix, log)
+    if df.empty:
         raise SystemExit("No matching cases between GT/base/new directories")
 
-    dice_n = [r[1] for r in rows]
-    dice_b = [r[4] for r in rows]
-    show_metric("Dice", dice_n, dice_b, higher_is_better=True, log=log)
-    show_metric("IoU ", [r[2] for r in rows], [r[5] for r in rows],
-                higher_is_better=True, log=log)
-    show_metric("HD95", [r[3] for r in rows], [r[6] for r in rows], "px",
-                higher_is_better=False, log=log)
+    for stem, pretty, unit, hib in METRICS:
+        show_metric(pretty, df[f"{stem}_new"], df[f"{stem}_base"], unit,
+                    higher_is_better=hib, log=log)
 
-    ranked = sorted(rows, key=lambda r: r[1], reverse=True)
-    log("\nTop-5 Dice(New):")
-    for r in ranked[:5]:
-        log(f"  {r[0][:8]}… New {r[1]:.4f} | Base {r[4]:.4f}")
-    log("Worst-5 Dice(New):")
-    for r in ranked[-5:]:
-        log(f"  {r[0][:8]}… New {r[1]:.4f} | Base {r[4]:.4f}")
+    by_dice = df.sort_values("dice_new", ascending=False)
+    for title, part in (("best", by_dice.head(5)), ("worst", by_dice.tail(5))):
+        log(f"\n{title} 5 cases by new-model Dice:")
+        for _, r in part.iterrows():
+            log(f"  {r['case'][:8]}  new={r['dice_new']:.4f}  "
+                f"base={r['dice_base']:.4f}")
+
+    for stem, *_ in METRICS:
+        df[f"{stem}_diff"] = df[f"{stem}_new"] - df[f"{stem}_base"]
+    out = df[["case",
+              "dice_new", "iou_new", "hd95_new",
+              "dice_base", "iou_base", "hd95_base",
+              "dice_diff", "iou_diff", "hd95_diff"]]
 
     if out_csv:
         out_csv = Path(out_csv)
         out_csv.parent.mkdir(parents=True, exist_ok=True)
-        with open(out_csv, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["case", "dice_new", "iou_new", "hd95_new_px",
-                        "dice_base", "iou_base", "hd95_base_px",
-                        "dice_diff", "iou_diff", "hd95_diff"])
-            w.writerows(rows)
+        out.to_csv(out_csv, index=False,
+                   header=["case", "dice_new", "iou_new", "hd95_new_px",
+                           "dice_base", "iou_base", "hd95_base_px",
+                           "dice_diff", "iou_diff", "hd95_diff"])
         log(f"\nwrote {out_csv}")
 
     if plot_dir:
-        _plots(rows, Path(plot_dir), log)
-    return rows
+        save_distribution_plots(df, Path(plot_dir), log)
+    return list(out.itertuples(index=False, name=None))
 
 
-def _plots(rows, plot_dir: Path, log=print) -> None:
+def save_distribution_plots(df: pd.DataFrame, plot_dir: Path,
+                            log=print) -> None:
+    """Histogram + box plot per metric (base vs new)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     plot_dir.mkdir(parents=True, exist_ok=True)
-    series = [("dice", [r[1] for r in rows], [r[4] for r in rows]),
-              ("iou", [r[2] for r in rows], [r[5] for r in rows]),
-              ("hd95", [r[3] for r in rows], [r[6] for r in rows])]
-    for name, new, base in series:
-        new = [v for v in new if not isnan(v)]
-        base = [v for v in base if not isnan(v)]
-        plt.figure()
-        plt.hist([base, new], label=["Base", "New"], bins=20, alpha=0.6)
-        plt.legend()
-        plt.title(f"{name.upper()} distribution")
-        plt.xlabel(name.upper())
-        plt.savefig(plot_dir / f"{name}_hist.png", dpi=200)
-        plt.close()
-
-        plt.figure()
-        plt.boxplot([base, new], tick_labels=["Base", "New"])
-        plt.title(f"{name.upper()} boxplot")
-        plt.ylabel(name.upper())
-        plt.savefig(plot_dir / f"{name}_box.png", dpi=200)
-        plt.close()
+    for stem, pretty, _, _ in METRICS:
+        base = df[f"{stem}_base"].dropna()
+        new = df[f"{stem}_new"].dropna()
+        for kind in ("hist", "box"):
+            fig, ax = plt.subplots()
+            if kind == "hist":
+                ax.hist([base, new], label=["Base", "New"], bins=20,
+                        alpha=0.6)
+                ax.legend()
+                ax.set_xlabel(pretty)
+            else:
+                ax.boxplot([base, new], tick_labels=["Base", "New"])
+                ax.set_ylabel(pretty)
+            ax.set_title(f"{pretty} {kind}")
+            fig.savefig(plot_dir / f"{stem}_{kind}.png", dpi=200)
+            plt.close(fig)
     log(f"plots saved to {plot_dir}")

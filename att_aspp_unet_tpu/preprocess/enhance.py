@@ -60,7 +60,7 @@ def percentile_normalize_u8(frames: jax.Array, lo_pct: float = 1.0,
     """Percentile(1, 99) windowed rescale to uint8, per frame.
 
     The dataset builder's normalisation (``convert_to_png.py``
-    ``normalize_slice_to_u8``): robust to ultrasound speckle outliers.
+    ``tools.convert.window_to_u8``): robust to ultrasound speckle outliers.
     """
     x = frames.astype(jnp.float32)
     flat = x.reshape(x.shape[:-2] + (-1,))

@@ -20,9 +20,11 @@ from att_aspp_unet_tpu.evals.seg_metrics import (dice, evaluate_directories,
                                                  show_metric)
 from att_aspp_unet_tpu.evals.visualize import render_worst_cases
 from att_aspp_unet_tpu.io import write_gray_png, write_mha, MetaImage
-from att_aspp_unet_tpu.tools.convert import (convert_frames_with_negatives,
-                                             decide_threshold_px,
-                                             normalize_slice_to_u8)
+from att_aspp_unet_tpu.tools.convert import (PositiveRule,
+                                             area_threshold_px,
+                                             convert_frames_with_negatives,
+                                             select_positive_frames,
+                                             window_to_u8)
 from att_aspp_unet_tpu.tools.leak_check import check_split_leak
 from att_aspp_unet_tpu.tools.split import split_train_val
 
@@ -209,17 +211,30 @@ def test_seg_eval_summary_and_attention_comparison(tmp_path):
 
 # ---------------- tools ----------------
 
-def test_normalize_slice_to_u8(rng):
+def test_window_to_u8(rng):
     sl = rng.normal(100, 30, (32, 32)).astype(np.float32)
-    u8 = normalize_slice_to_u8(sl)
+    u8 = window_to_u8(sl)
     assert u8.dtype == np.uint8 and u8.max() == 255 and u8.min() == 0
-    assert (normalize_slice_to_u8(np.full((8, 8), 3.0)) == 0).all()
+    assert (window_to_u8(np.full((8, 8), 3.0)) == 0).all()
 
 
-def test_decide_threshold_px():
-    assert decide_threshold_px(None, 100, (0.28, 0.28)) == 100
-    assert decide_threshold_px(80.0, 100, (0.28, 0.28)) == int(np.ceil(80 / 0.28 ** 2))
-    assert decide_threshold_px(80.0, 100, None) == 100
+def test_area_threshold_px():
+    assert area_threshold_px(PositiveRule(min_area_mm2=None, min_area_px=100),
+                             (0.28, 0.28)) == 100
+    assert area_threshold_px(PositiveRule(min_area_mm2=80.0, min_area_px=100),
+                             (0.28, 0.28)) == int(np.ceil(80 / 0.28 ** 2))
+    assert area_threshold_px(PositiveRule(min_area_mm2=80.0, min_area_px=100),
+                             None) == 100
+
+
+def test_select_positive_frames_neighbor_pad():
+    areas = np.array([0, 50, 300, 0, 200, 190, 0, 0])
+    rule = PositiveRule(topk=2, neighbor_pad=1, min_area_px=100)
+    got = select_positive_frames(areas, 100, rule)
+    # top-2 = frames 2, 4; ±1 neighbours below threshold are dropped,
+    # neighbour 5 (area 190 ≥ thr) is kept
+    assert got.tolist() == [2, 4, 5]
+    assert select_positive_frames(areas, 400, rule).size == 0
 
 
 def test_convert_frames_with_negatives(tmp_path, rng):
