@@ -22,6 +22,8 @@ RUN python -m pip install --user jax flax optax orbax-checkpoint numpy scipy pil
 COPY --chown=user:user att_aspp_unet_tpu /opt/app/att_aspp_unet_tpu
 COPY --chown=user:user native /opt/app/native
 COPY --chown=user:user inference.py /opt/app/
+# minimal config-only resources tree (plans/dataset JSON; weights are mounted
+# or baked by the deployment, see resources/README.md)
 COPY --chown=user:user resources /opt/app/resources
 
 ENTRYPOINT [ "python", "-m", "inference" ]

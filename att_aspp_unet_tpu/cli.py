@@ -159,6 +159,11 @@ def cmd_infer_container(args) -> int:
     cfg = dataclasses.replace(cfg, container=ContainerConfig(
         input_path=args.input, output_path=args.output,
         model_tag=args.model_tag, case_id=args.case_id))
+    if args.plans:
+        from .utils.nnunet_import import load_plans_config
+        cfg = dataclasses.replace(cfg, plain_unet=load_plans_config(
+            Path(args.plans), dataset_json=Path(args.dataset_json)
+            if args.dataset_json else None, base=cfg.plain_unet))
     if args.weights:
         variables = load_variables(Path(args.weights), cfg,
                                    cfg.preprocess.img_size,
@@ -311,6 +316,10 @@ def get_parser() -> argparse.ArgumentParser:
                     choices=["baseline", "att_aspp"])
     ic.add_argument("--case-id", default="output")
     ic.add_argument("--weights")
+    ic.add_argument("--plans", help="nnU-Net plans.json for the baseline "
+                    "model architecture")
+    ic.add_argument("--dataset-json", help="nnU-Net dataset.json "
+                    "(num_classes / in_channels)")
     model_flags(ic)
     ic.set_defaults(fn=cmd_infer_container)
 

@@ -20,6 +20,50 @@ from .infer.engine import AttAsppEngine, BaselineEngine, select_mask_and_frame
 from .io.volume import read_volume
 
 
+class ValidationError(Exception):
+    """Raised when an input-case validator rejects the case set."""
+
+
+class UniquePathIndicesValidator:
+    """evalutils-compatible validator: the numeric indices parsed from the
+    input filenames must be unique (``evalutils.validators`` semantics, used
+    by the reference at ``model.py:21-27``).  Accepts a list of paths or an
+    object with a ``path`` column/attribute per row."""
+
+    def __call__(self, cases) -> None:
+        import re
+
+        indices = []
+        for p in _case_paths(cases):
+            m = re.search(r"(\d+)", Path(p).name)
+            if m:
+                indices.append(m.group(1))
+        if len(indices) != len(set(indices)):
+            raise ValidationError("duplicate path indices in input cases")
+
+
+class UniqueImagesValidator:
+    """evalutils-compatible validator: no two input images may have
+    identical content (compared by content hash)."""
+
+    def __call__(self, cases) -> None:
+        import hashlib
+
+        seen = set()
+        for p in _case_paths(cases):
+            h = hashlib.sha256(Path(p).read_bytes()).hexdigest()
+            if h in seen:
+                raise ValidationError(f"duplicate input image: {p}")
+            seen.add(h)
+
+
+def _case_paths(cases):
+    if hasattr(cases, "path"):          # DataFrame-like with a path column
+        return list(cases.path)
+    return [c if isinstance(c, (str, Path)) else getattr(c, "path")
+            for c in cases]
+
+
 class FetalAbdomenSegmentation:
     """Reference-compatible facade over the TPU inference engines.
 
@@ -33,6 +77,10 @@ class FetalAbdomenSegmentation:
                  variables: Optional[dict] = None):
         self.cfg = cfg or Config()
         self.model_tag = model_tag
+        # evalutils SegmentationAlgorithm scaffolding (reference
+        # model.py:20-28): the validator set the reference registers
+        self.validators = dict(input_image=(UniqueImagesValidator(),
+                                            UniquePathIndicesValidator()))
         if variables is None:
             if checkpoint_path is None or not Path(checkpoint_path).exists():
                 raise FileNotFoundError(f"checkpoint not found: {checkpoint_path}")
@@ -70,6 +118,13 @@ class FetalAbdomenSegmentation:
             return np.asarray(self._engine.postprocess_roi(
                 np.asarray(probability_map)))
         return np.asarray(self._engine.postprocess(np.asarray(probability_map)))
+
+    def validate(self, cases) -> None:
+        """Run every registered validator over the input case set
+        (evalutils ``Algorithm.validate`` hook)."""
+        for validators in self.validators.values():
+            for v in validators:
+                v(cases)
 
 
 def select_fetal_abdomen_mask_and_frame(mask_3d: np.ndarray

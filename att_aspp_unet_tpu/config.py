@@ -163,6 +163,9 @@ class PredictConfig:
     tta_hflip: bool = True
     gaussian_kernel: int = 5
     topk_frames: int = 5
+    # extra raw-area candidates refined beyond topk in predict_case, so
+    # refinement-induced re-ranking can't push a winner out of the set
+    refine_margin: int = 3
     min_area_px: int = 20
     min_area_frac: float = 0.0015
     close_kernel: int = 7

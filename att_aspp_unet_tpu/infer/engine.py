@@ -32,7 +32,8 @@ from ..measure import measure_ac_mm
 from ..models import AttentionASPPUNet, PlainConvUNet, sliding_window_predict
 from ..ops.image import gaussian_blur, resize_bilinear, resize_nearest
 from ..postprocess import (postprocess_roi_stack, postprocess_softmax_stack,
-                           refine_mask, select_best_frame,
+                           refine_mask, refine_mask_bucketed,
+                           select_best_frame, select_best_frame_exact,
                            select_max_area_frame)
 from ..preprocess import crop_roi, enhance_frames, paste_roi_probs
 from ..preprocess.enhance import preprocess_sweep
@@ -97,15 +98,36 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
 
 @functools.partial(jax.jit, static_argnames=(
     "apply_fn", "clahe_clip", "clahe_grid", "median_kernel", "roi", "batch"))
-def _predict_roi_impl(apply_fn, variables, sweep, idxs, clahe_clip,
+def _predict_roi_impl(apply_fn, variables, frames, clahe_clip,
                       clahe_grid, median_kernel, roi, batch):
-    enhanced = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
+    """ROI path on (already linspace-subsampled) frames.  Enhancement is
+    per-frame, so enhancing the subsample equals subsampling the enhanced
+    sweep (the reference's order, ``inference.py:173-177`` →
+    ``model_attention_aspp.py:45``) at 1/6th the cost — and the frame axis
+    shards cleanly over the mesh."""
+    enhanced = enhance_frames(frames, clahe_clip, clahe_grid, median_kernel)
     vol = enhanced.astype(jnp.float32) / 255.0
-    sub = vol[idxs]
-    patches, origins = crop_roi(sub, roi)
+    patches, origins = crop_roi(vol, roi)
     probs_roi = predict_sweep_probs(apply_fn, variables, patches, batch,
                                     hflip=False)
     return paste_roi_probs(probs_roi, origins, vol.shape[-2:])
+
+
+def stage_frames(mesh, frames, batch: int):
+    """Pad the frame axis to a multiple of (mesh data size × batch) and
+    device-put with the data-axis sharding; returns (array, n_pad).
+    ``mesh=None`` → plain device array, no padding."""
+    if mesh is None:
+        return jnp.asarray(frames), 0
+    from ..parallel.mesh import batch_sharding
+    d = mesh.shape[mesh.axis_names[0]]
+    n = frames.shape[0]
+    pad = (-n) % (d * batch)
+    arr = np.asarray(frames)
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:],
+                                            arr.dtype)])
+    return jax.device_put(arr, batch_sharding(mesh, arr.ndim)), pad
 
 
 class AttAsppEngine:
@@ -131,17 +153,7 @@ class AttAsppEngine:
 
     def _stage_frames(self, frames: jax.Array):
         """Shard (pad) the frame axis over the mesh; returns (array, n_pad)."""
-        if self.mesh is None:
-            return jnp.asarray(frames), 0
-        from ..parallel.mesh import batch_sharding
-        d = self.mesh.shape[self.mesh.axis_names[0]]
-        n = frames.shape[0]
-        pad = (-n) % (d * self.cfg.predict.frame_batch)
-        arr = np.asarray(frames)
-        if pad:
-            arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:],
-                                                arr.dtype)])
-        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim)), pad
+        return stage_frames(self.mesh, frames, self.cfg.predict.frame_batch)
 
     # ---------------- full-frame (predict CLI) path ----------------
 
@@ -166,7 +178,45 @@ class AttAsppEngine:
                            pc.close_kernel)
 
     def select_best(self, masks: jax.Array) -> int:
-        return int(select_best_frame(masks, self.cfg.predict.topk_frames))
+        """cv2-parity top-K area → exact traced-circularity re-rank
+        (``select_best``, ``…stage.py:350-353``)."""
+        return select_best_frame_exact(masks, self.cfg.predict.topk_frames)
+
+    def predict_case(self, sweep: np.ndarray,
+                     spacing: Optional[Tuple[float, float]] = None,
+                     threshold: Optional[float] = None):
+        """Full sweep → (best_frame, refined_mask, ac_mm): the honest
+        end-to-end path.
+
+        The reference refined every frame before selecting
+        (``…stage.py:490-503``); since selection only ever looks at the
+        ``topk`` largest candidates, this refines just the top
+        ``topk + refine_margin`` frames by raw thresholded area — identical
+        choice in practice (refinement keeps the largest component, so a
+        high-raw-area frame built of specks drops out of the candidate set,
+        which the margin absorbs) at a small fraction of the refine cost.
+        Selection within the candidates is the exact cv2-parity re-rank.
+        """
+        pc = self.cfg.predict
+        thr = pc.threshold if threshold is None else threshold
+        probs = self.predict_full(sweep)
+        binary = (probs > thr).astype(jnp.uint8)
+
+        n = binary.shape[0]
+        m = max(1, min(pc.topk_frames + pc.refine_margin, n))
+        areas = np.asarray(binary.sum(axis=(-2, -1)))
+        cand_idx = np.argsort(areas)[::-1][:m]          # reference tie order
+        cand = binary[jnp.asarray(cand_idx)]
+        # shape-bucketed: one refine compile serves every sweep resolution
+        refined = refine_mask_bucketed(cand, pc.min_area_px,
+                                       pc.min_area_frac, pc.close_kernel)
+
+        local = select_best_frame_exact(refined, pc.topk_frames)
+        best_frame = int(cand_idx[local])
+        best_mask = np.asarray(refined[local])
+        ac = (self.measure(best_mask, spacing)
+              if spacing is not None else float("nan"))
+        return best_frame, best_mask, ac
 
     def measure(self, mask: np.ndarray, spacing: Tuple[float, float]) -> float:
         return measure_ac_mm(np.asarray(mask), spacing)
@@ -175,27 +225,38 @@ class AttAsppEngine:
 
     def predict_roi(self, sweep: np.ndarray) -> jax.Array:
         """Raw (N, H, W) sweep → (n_sub, H, W) probabilities via the
-        128-frame / 224² ROI deployment path."""
+        128-frame / 224² ROI deployment path.  With a mesh, the subsampled
+        frame axis shards over the data axis (frames are independent)."""
         p = self.cfg.preprocess
         pc = self.cfg.predict
         n = sweep.shape[0]
         idxs = np.linspace(0, n - 1, min(pc.subsample_frames, n)).astype(int)
-        return _predict_roi_impl(
-            self._apply, self.variables, jnp.asarray(sweep),
-            jnp.asarray(idxs), p.clahe_clip, p.clahe_grid, p.median_kernel,
+        staged, pad = self._stage_frames(np.asarray(sweep)[idxs])
+        out = _predict_roi_impl(
+            self._apply, self.variables, staged,
+            p.clahe_clip, p.clahe_grid, p.median_kernel,
             pc.roi_size, pc.frame_batch)
+        return out[: out.shape[0] - pad] if pad else out
 
     def postprocess_roi(self, probs: jax.Array) -> jax.Array:
         return postprocess_roi_stack(probs, 0.05)
 
 
 class BaselineEngine:
-    """PlainConvUNet + sliding-window tiled inference (nnU-Net-style path)."""
+    """PlainConvUNet + sliding-window tiled inference (nnU-Net-style path).
+
+    With a ``mesh``, the frame axis shards over the data axis exactly like
+    the att-aspp paths — tiles of different frames are independent.
+    """
 
     def __init__(self, cfg: Config, variables: dict,
-                 model: Optional[PlainConvUNet] = None):
+                 model: Optional[PlainConvUNet] = None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.variables = {"params": variables["params"]}
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            self.variables = jax.device_put(self.variables, replicate(mesh))
         self.model = model or PlainConvUNet.from_config(cfg.plain_unet)
         self._apply = functools.partial(self.model.apply, train=False)
 
@@ -203,11 +264,14 @@ class BaselineEngine:
         """Raw (N, H, W) sweep → (C, N, H, W) softmax probabilities."""
         p = self.cfg.preprocess
         pu = self.cfg.plain_unet
-        x = preprocess_sweep(jnp.asarray(sweep), None, p.clahe_clip,
+        staged, pad = stage_frames(self.mesh, np.asarray(sweep), 1)
+        x = preprocess_sweep(staged, None, p.clahe_clip,
                              p.clahe_grid, p.median_kernel)
         probs = sliding_window_predict(self._apply, self.variables, x,
                                        tuple(pu.patch_size), pu.tile_step,
                                        pu.use_gaussian, pu.use_mirroring)
+        if pad:
+            probs = probs[: probs.shape[0] - pad]
         return jnp.transpose(probs, (1, 0, 2, 3))       # (N,C,H,W)→(C,N,H,W)
 
     def postprocess(self, probabilities: jax.Array) -> jax.Array:

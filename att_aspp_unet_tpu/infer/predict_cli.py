@@ -111,13 +111,24 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
         elif ext == ".mha":
             img = read_mha(p)
             vol = img.array
+            sx, sy = float(img.spacing[0]), float(img.spacing[1])
+            if not (slice_metrics or topk_viz):
+                # fast path: refine only the top candidates (predict_case)
+                best, best_mask, ac = engine.predict_case(vol, (sx, sy), thr)
+                ac = round(ac, 1)
+                write_output_mha_and_json(out_dir, p.stem, best_mask, best,
+                                          img)
+                rows.append((p.stem, int(best), ac))
+                log(f"{p.stem}: best_frame={best}, AC={ac:.1f} mm")
+                continue
+
+            # diagnostics need every refined frame — reference-shaped path
             probs = engine.predict_full(vol)
             masks = np.asarray(engine.refine(probs, thr))
             best = engine.select_best(masks)
             best_mask = masks[best]
 
             write_output_mha_and_json(out_dir, p.stem, best_mask, best, img)
-            sx, sy = float(img.spacing[0]), float(img.spacing[1])
             ac = round(engine.measure(best_mask, (sx, sy)), 1)
             rows.append((p.stem, int(best), ac))
             log(f"{p.stem}: best_frame={best}, AC={ac:.1f} mm")

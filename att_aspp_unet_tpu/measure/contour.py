@@ -24,7 +24,20 @@ def trace_contour(mask: np.ndarray) -> np.ndarray:
     Returns an (K, 2) int array of (x, y) border pixels in traversal order.
     Starts at the first foreground pixel in raster order (the same start rule
     border-following algorithms use).  Empty mask → (0, 2).
+
+    Uses the native C++ tracer (``native/host_ops.cpp::ho_trace_contour``,
+    identical algorithm) when the library is available — pixel-following is
+    inherently sequential and ~100× faster in C++ than in this Python loop,
+    which matters in the per-sweep hot path (frame selection + AC measure);
+    the Python implementation below is the reference/fallback.
     """
+    from ..utils import native
+
+    if native.available():
+        out = native.trace_contour(np.asarray(mask))
+        if out is not None:
+            return out.astype(np.int32)
+
     m = (np.asarray(mask) > 0).astype(np.uint8)
     ys, xs = np.nonzero(m)
     if len(ys) == 0:
@@ -83,3 +96,17 @@ def contour_area(contour: np.ndarray) -> float:
         return 0.0
     x, y = c[:, 0], c[:, 1]
     return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2)
+
+
+def circularity_score(mask: np.ndarray) -> float:
+    """cv2-parity circularity 4π·A/P² of the traced external contour
+    (``test_ablation.py:389-396``: A = cv2.contourArea shoelace, P =
+    cv2.arcLength closed).  Single-blob semantics — callers rank masks that
+    have already been refined to one component (``refine_mask``)."""
+    c = trace_contour(mask)
+    if len(c) == 0:
+        return 0.0
+    peri = arc_length(c, closed=True)
+    if peri <= 1e-6:
+        return 0.0
+    return float(4.0 * np.pi * contour_area(c) / (peri * peri))

@@ -16,8 +16,13 @@ from .morphology import (  # noqa: F401
     fill_holes,
     structuring_ellipse,
 )
-from .refine import refine_mask, postprocess_roi_stack, postprocess_softmax_stack  # noqa: F401
+from .refine import (get_binary_masks, get_positive_frames,  # noqa: F401
+                     merge_annotations, postprocess_roi_stack,
+                     postprocess_softmax_stack, refine_bucket_hw,
+                     refine_mask, refine_mask_bucketed)
 from .select import (  # noqa: F401
+    select_best_frame_exact,
+    topk_area_frames,
     boundary_mask,
     circularity,
     perimeter_estimate,

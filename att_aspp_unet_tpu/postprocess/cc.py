@@ -87,11 +87,17 @@ def _segmented_min_scan_enc(values: jax.Array, base: jax.Array, L: int,
     Valid when every value of interest is in [0, L) (background may hold
     _INF — its encoding is hugely negative and never wins the max) and
     ``max(base)·L + 2³⁰ < 2³¹``.
+
+    ``lax.cummax`` (not a hand-rolled ``associative_scan``) is load-bearing
+    for compile time: on TPU it lowers to a single reduce-window HLO
+    instruction, while an explicit associative scan unrolls into ~2·log₂(n)
+    slice/pad/max steps *per scan per loop iteration* — that unrolling is
+    what made the round-1 refine program take >15 min through the remote
+    compile service.
     """
     axis = axis % values.ndim
     enc = base * jnp.int32(L) - values
-    enc = jax.lax.associative_scan(jnp.maximum, enc, axis=axis,
-                                   reverse=reverse)
+    enc = jax.lax.cummax(enc, axis=axis, reverse=reverse)
     return base * jnp.int32(L) - enc
 
 
@@ -222,8 +228,7 @@ def _largest_run(flat_labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
     n = s.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     start = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(start, idx, -1))
+    run_start = jax.lax.cummax(jnp.where(start, idx, -1))
     length = idx - run_start + 1
     length = jnp.where(s > 0, length, 0)
     best = jnp.argmax(length)
@@ -240,10 +245,9 @@ def component_sizes(labels: jax.Array, ndim: int = 2):
     return lab.reshape(lead), size.reshape(lead)
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "ndim",
-                                             "min_area"))
+@functools.partial(jax.jit, static_argnames=("connectivity", "ndim"))
 def largest_component(mask: jax.Array, connectivity: int = 8, ndim: int = 2,
-                      min_area: int = 0) -> jax.Array:
+                      min_area=0) -> jax.Array:
     """Keep only the largest connected component of each mask.
 
     If the largest component has fewer than ``min_area`` pixels the result is
@@ -256,5 +260,7 @@ def largest_component(mask: jax.Array, connectivity: int = 8, ndim: int = 2,
     best, size = component_sizes(labels, ndim)
     expand = (...,) + (None,) * ndim
     keep = (labels == best[expand]) & (labels > 0)
-    ok = (size >= max(min_area, 1))[expand]
+    # min_area may be a traced scalar (shape-bucketed refine passes the true
+    # image area at runtime)
+    ok = (size >= jnp.maximum(jnp.asarray(min_area, size.dtype), 1))[expand]
     return (keep & ok).astype(jnp.uint8)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -74,11 +75,48 @@ def select_max_area_frame(masks: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=("topk",))
 def select_best_frame(mask_stack: jax.Array, topk: int = 5) -> jax.Array:
-    """Top-``topk`` masks by area, winner by circularity; returns the frame
-    index (int32).  Ties resolve to the largest-area candidate first, like the
-    reference's descending-area ordering."""
+    """Top-``topk`` masks by area, winner by *Crofton* circularity; returns
+    the frame index (int32).  Fully on-device, used where an approximate
+    ranking is acceptable; the deployment path uses
+    :func:`select_best_frame_exact` for cv2-parity ranking."""
     areas = (mask_stack > 0).sum(axis=(-2, -1)).astype(jnp.int32)
     k = max(1, min(topk, mask_stack.shape[0]))
     _, top_idx = jax.lax.top_k(areas, k)
     circ = circularity(mask_stack[top_idx])
     return top_idx[jnp.argmax(circ)].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("topk",))
+def topk_area_frames(mask_stack: jax.Array, topk: int = 5):
+    """(indices, masks) of the ``topk`` largest-area frames — the device half
+    of the exact selector: reduce + gather on device, so only K small masks
+    ever cross to the host."""
+    areas = (mask_stack > 0).sum(axis=(-2, -1)).astype(jnp.int32)
+    k = max(1, min(topk, mask_stack.shape[0]))
+    _, top_idx = jax.lax.top_k(areas, k)
+    return top_idx, mask_stack[top_idx]
+
+
+def select_best_frame_exact(mask_stack, topk: int = 5) -> int:
+    """Reference-parity frame selection (``select_best``,
+    ``…stage.py:350-353`` / ``test_ablation.py:398-403``): top-``topk`` by
+    pixel area, winner by the cv2 traced-contour circularity (shoelace area /
+    closed arc length — ``measure.contour.circularity_score``).  Ties keep
+    the largest-area candidate, like the reference's ``max`` over the
+    descending-area index list.
+
+    The area reduce and candidate gather run on device; only the K candidate
+    masks are pulled to the host for exact tracing (K·H·W ≪ N·H·W).  The
+    candidate ordering replicates ``areas.argsort()[::-1]`` exactly —
+    including its higher-index-first tie order — so tied scores resolve to
+    the same frame the reference picks.
+    """
+    from ..measure.contour import circularity_score
+
+    ms = jnp.asarray(mask_stack)
+    areas = np.asarray((ms > 0).sum(axis=(-2, -1)))
+    k = max(1, min(topk, len(areas)))
+    idx = np.argsort(areas)[::-1][:k]
+    cand = np.asarray(ms[jnp.asarray(idx)])
+    scores = [circularity_score(m) for m in cand]
+    return int(idx[int(np.argmax(scores))])

@@ -36,8 +36,9 @@ def _sample_params(key, cfg: AugmentConfig):
         "do_affine": jax.random.bernoulli(ks[1], float(cfg.affine_p)),
         "scale": u(ks[2], cfg.scale_range[0], cfg.scale_range[1]),
         "angle": u(ks[3], -cfg.rotate_deg, cfg.rotate_deg) * math.pi / 180.0,
-        "tx": u(ks[4], 0.0, cfg.translate_frac),
-        "ty": u(ks[5], 0.0, cfg.translate_frac),
+        # albumentations' Affine translate_percent is symmetric about zero
+        "tx": u(ks[4], -cfg.translate_frac, cfg.translate_frac),
+        "ty": u(ks[5], -cfg.translate_frac, cfg.translate_frac),
         "do_gamma": jax.random.bernoulli(ks[6], float(cfg.gamma_p)),
         "gamma": u(ks[7], cfg.gamma_range[0], cfg.gamma_range[1]),
         "do_bc": jax.random.bernoulli(ks[8], float(cfg.brightness_contrast_p)),

@@ -219,9 +219,12 @@ def fit(cfg: Config, train_ds: ArrayDataset, val_ds: ArrayDataset,
     rep = replicate(mesh)
     state = jax.device_put(state, rep)
 
+    # donate the input state: params/opt-state buffers update in place
+    # instead of doubling HBM residency every step
     train_step = jax.jit(make_train_step(cfg),
                          in_shardings=(rep, data_sh, data_sh, rep),
-                         out_shardings=(rep, rep))
+                         out_shardings=(rep, rep),
+                         donate_argnums=(0,))
     # eval batches may be ragged (drop_last=False) — replicate their inputs
     eval_step = jax.jit(make_eval_step(cfg),
                         in_shardings=(rep, rep, rep),

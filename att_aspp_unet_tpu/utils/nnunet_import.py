@@ -20,13 +20,72 @@ and ``{"state_dict": ...}`` are unwrapped; ``_orig_mod.`` (torch.compile) and
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import re
-from typing import Dict, List, Tuple
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..config import PlainUNetConfig
 from .torch_import import _conv_w, _convT_w, _deep_dict, _set
+
+
+def load_plans_config(plans_path, configuration: str = "2d",
+                      dataset_json: Optional[Path] = None,
+                      base: Optional[PlainUNetConfig] = None
+                      ) -> PlainUNetConfig:
+    """Build a :class:`PlainUNetConfig` from an nnU-Net v2 ``plans.json``.
+
+    The reference configures its predictor from
+    ``resources/.../plans.json`` at runtime (``/root/reference/model.py:35-
+    60``; plan values at ``plans.json:26-49``).  This maps the plan onto the
+    flax model config so an imported checkpoint with a *different* plan
+    (patch size, stages, features) builds the matching architecture instead
+    of silently using the hardcoded defaults.
+
+    ``dataset_json`` (nnU-Net's ``dataset.json`` next to the plan) supplies
+    ``num_classes`` (#labels) and ``in_channels`` (#channel_names); without
+    it those stay at ``base``'s values.
+    """
+    plans = json.loads(Path(plans_path).read_text())
+    try:
+        c = plans["configurations"][configuration]
+    except KeyError as e:
+        raise KeyError(
+            f"configuration {configuration!r} not in plans "
+            f"(have {sorted(plans.get('configurations', {}))})") from e
+
+    arch = c.get("UNet_class_name", "PlainConvUNet")
+    if arch != "PlainConvUNet":
+        raise ValueError(f"unsupported architecture {arch!r} "
+                         "(only PlainConvUNet plans are importable)")
+    enc = list(c["n_conv_per_stage_encoder"])
+    if len(set(enc)) != 1:
+        raise ValueError(f"non-uniform convs per stage unsupported: {enc}")
+    for k in c.get("conv_kernel_sizes", []):
+        if tuple(k) != (3, 3):
+            raise ValueError(f"non-3x3 conv kernels unsupported: "
+                             f"{c['conv_kernel_sizes']}")
+    pools = [tuple(p) for p in c.get("pool_op_kernel_sizes", [])]
+    if pools and (pools[0] != (1, 1) or any(p != (2, 2) for p in pools[1:])):
+        raise ValueError(f"unsupported pooling layout: {pools}")
+
+    kw = dict(
+        base_c=int(c["UNet_base_num_features"]),
+        max_c=int(c.get("unet_max_num_features", 512)),
+        n_stages=len(enc),
+        conv_per_stage=int(enc[0]),
+        patch_size=tuple(int(v) for v in c["patch_size"]),
+    )
+    if dataset_json is not None:
+        ds = json.loads(Path(dataset_json).read_text())
+        if "labels" in ds:
+            kw["num_classes"] = len(ds["labels"])
+        if "channel_names" in ds:
+            kw["in_channels"] = len(ds["channel_names"])
+    return dataclasses.replace(base or PlainUNetConfig(), **kw)
 
 
 def normalize_nnunet_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

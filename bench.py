@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: sweep-inference throughput of the flagship Attention-ASPP-UNet.
 
-Measures the end-to-end per-frame rate of the full predict pipeline on one
-chip — device preprocess (min-max → CLAHE → median-3 → resize 512²) → bf16
-hflip-TTA forward → resize back to native → 5×5 Gaussian — i.e. the
-reference's HOT LOOPs 1+2 (SURVEY.md §3.1/§3.3) fused into batched XLA.
+Measures the HONEST end-to-end per-frame rate on one chip: device preprocess
+(min-max → CLAHE → median-3 → resize 512²) → bf16 forward → resize back to
+native → 5×5 Gaussian → threshold → top-K refine (largest-CC + close + hole
+fill) → exact circularity frame select → ellipse-fit AC in mm — i.e. the
+reference's full ``predict`` sweep path (SURVEY.md §3.3), sweep →
+(frame, mask, AC).  TTA is off by default, matching the reference's
+deployment (ROI) path; pass ``--tta`` for the hflip-TTA variant.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 500 — the BASELINE.md north star of ≥500 frames/s
@@ -28,9 +31,16 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--base-c", type=int, default=48)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--no-tta", action="store_true")
+    ap.add_argument("--tta", action="store_true",
+                    help="enable hflip TTA (deployment default is off, like "
+                         "the reference ROI path)")
+    ap.add_argument("--no-tta", action="store_true",
+                    help="deprecated: TTA is already off by default")
     ap.add_argument("--forward-only", action="store_true",
                     help="skip preprocess/postprocess, bench the net alone")
+    ap.add_argument("--no-postprocess", action="store_true",
+                    help="stop after the blurred probability maps (the "
+                         "round-1 timed path)")
     ap.add_argument("--train", action="store_true",
                     help="bench the data-parallel train step instead "
                          "(BASELINE config 5)")
@@ -59,7 +69,7 @@ def main() -> int:
         preprocess=PreprocessConfig(img_size=args.img_size),
         model=ModelConfig(base_c=args.base_c),
         predict=PredictConfig(frame_batch=args.batch,
-                              tta_hflip=not args.no_tta),
+                              tta_hflip=bool(args.tta)),
     )
     model = AttentionASPPUNet.from_config(cfg.model)
     rng = np.random.default_rng(0)
@@ -81,12 +91,22 @@ def main() -> int:
             (args.frames, args.img_size, args.img_size)).astype(np.float32))
         apply_fn = lambda v, inp: model.apply(v, inp, train=False)
         run = lambda: float(jnp.sum(predict_sweep_probs(
-            apply_fn, variables, x, args.batch, not args.no_tta)))
+            apply_fn, variables, x, args.batch, bool(args.tta))))
         metric = "forward_frames_per_sec_512"
-    else:
+    elif args.no_postprocess:
         engine = AttAsppEngine(cfg, variables)
         run = lambda: float(jnp.sum(engine.predict_full(sweep)))
         metric = "sweep_frames_per_sec_512"
+    else:
+        engine = AttAsppEngine(cfg, variables)
+        # random weights emit near-uniform probabilities; threshold at the
+        # 97th percentile so the binary masks are blobby islands like real
+        # segmentations (a fixed 0.48 would make ~half the image foreground
+        # — an adversarial, unrepresentative CC-labeling load)
+        warm = engine.predict_full(sweep)
+        thr = float(jnp.quantile(warm.astype(jnp.float32), 0.97))
+        run = lambda: engine.predict_case(sweep, (0.28, 0.28), threshold=thr)[0]
+        metric = "e2e_frames_per_sec_512"
 
     t0 = time.time()
     run()  # compile + warm
@@ -141,7 +161,8 @@ def _bench_train(args) -> int:
     state = jax.device_put(state, rep)
     step = jax.jit(make_train_step(cfg),
                    in_shardings=(rep, data_sh, data_sh, rep),
-                   out_shardings=(rep, rep))
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,))
     rng = np.random.default_rng(0)
     imgs = jax.device_put((rng.random((B, S, S)) * 255).astype(np.uint8),
                           data_sh)

@@ -26,6 +26,15 @@ def main() -> int:
     cfg = Config()
     weights = os.getenv("WEIGHTS")
     tag = os.getenv("MODEL_TAG", "baseline")
+    plans = os.getenv("PLANS")          # nnU-Net plans.json (baseline arch)
+    if plans:
+        import dataclasses
+
+        from att_aspp_unet_tpu.utils.nnunet_import import load_plans_config
+        ds = os.getenv("DATASET_JSON")
+        cfg = dataclasses.replace(cfg, plain_unet=load_plans_config(
+            Path(plans), dataset_json=Path(ds) if ds else None,
+            base=cfg.plain_unet))
 
     if weights:
         from att_aspp_unet_tpu.cli import load_variables

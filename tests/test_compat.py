@@ -65,3 +65,24 @@ def test_missing_checkpoint_raises():
 def test_select_binary_2d():
     sel, frame = select_fetal_abdomen_mask_and_frame(np.ones((8, 8), np.uint8))
     assert frame == 0 and sel.sum() == 64
+
+
+def test_evalutils_validators(tmp_path):
+    from att_aspp_unet_tpu.compat import (UniqueImagesValidator,
+                                          UniquePathIndicesValidator,
+                                          ValidationError)
+
+    a = tmp_path / "case_001.mha"
+    b = tmp_path / "case_002.mha"
+    a.write_bytes(b"AAA")
+    b.write_bytes(b"BBB")
+    UniqueImagesValidator()([a, b])
+    UniquePathIndicesValidator()([a, b])
+
+    dup = tmp_path / "other_001.mha"
+    dup.write_bytes(b"AAA")
+    import pytest
+    with pytest.raises(ValidationError):
+        UniqueImagesValidator()([a, dup])
+    with pytest.raises(ValidationError):
+        UniquePathIndicesValidator()([a, dup])

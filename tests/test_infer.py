@@ -254,3 +254,36 @@ def test_calibrate(tiny_att, tmp_path, rng):
     assert thr["best_thr"] == out["best_thr"]
     assert (tmp_path / "ck/calibrate_curve.csv").exists()
     assert (tmp_path / "ck/calibrate_raw.csv").exists()
+
+
+def test_predict_case_matches_refine_everything(tiny_att, rng):
+    """predict_case (top-M refine) must agree with the reference-shaped
+    refine-every-frame → select_best path on frame AND mask.
+
+    Threshold at a high probability quantile so the binary masks are blobby
+    islands like real segmentations — at thr 0.5 a random-weight model
+    foregrounds half of every frame, where candidate ranking is pure noise
+    and the top-M shortcut is (documented to be) unreliable."""
+    cfg, variables = tiny_att
+    eng = AttAsppEngine(cfg, variables)
+    sweep = _sweep(rng, 10, 40, 48)
+
+    probs = eng.predict_full(sweep)
+    thr = float(np.quantile(np.asarray(probs), 0.97))
+    frame, mask, ac = eng.predict_case(sweep, (0.28, 0.28), threshold=thr)
+
+    masks = np.asarray(eng.refine(probs, thr))
+    ref_frame = eng.select_best(masks)
+
+    assert frame == ref_frame
+    np.testing.assert_array_equal(mask, masks[ref_frame])
+    assert np.isfinite(ac) and ac >= 0.0
+
+
+def test_predict_case_empty_sweep(tiny_att):
+    """All-background input → a valid (frame, empty-ish mask, 0 AC) triple."""
+    cfg, variables = tiny_att
+    eng = AttAsppEngine(cfg, variables)
+    sweep = np.zeros((6, 40, 48), np.uint8)
+    frame, mask, ac = eng.predict_case(sweep, (0.28, 0.28), threshold=0.99)
+    assert 0 <= frame < 6 and mask.sum() == 0 and ac == 0.0

@@ -72,3 +72,71 @@ def test_size_property():
     img = MetaImage(np.zeros((140, 562, 744), np.uint8))
     # sitk GetSize() order: (x, y, z)
     assert img.size == (744, 562, 140)
+
+
+# ------------- ITK-shaped fixtures (byte-level, independently authored) ----
+
+def _itk_style_bytes(arr, spacing, compressed=True, extra_keys=()):
+    """Hand-assemble .mha bytes in MetaIO/ITK's canonical field order —
+    including fields and orderings our own writer does NOT emit — to pin the
+    reader against genuinely ITK-shaped files (no ITK in this env; the
+    reference repo's .mha fixtures are git-LFS stubs)."""
+    import zlib
+
+    raw = arr.tobytes()
+    z, d, h, w = arr.shape[0], None, arr.shape[1], arr.shape[2]
+    payload = zlib.compress(raw, 6) if compressed else raw
+    lines = [
+        "ObjectType = Image",
+        "NDims = 3",
+        "BinaryData = True",
+        "BinaryDataByteOrderMSB = False",
+    ]
+    if compressed:
+        lines += ["CompressedData = True",
+                  f"CompressedDataSize = {len(payload)}"]
+    lines += [
+        "TransformMatrix = 1 0 0 0 1 0 0 0 1",
+        "Offset = 1.5 -2 0",
+        "CenterOfRotation = 0 0 0",
+        "AnatomicalOrientation = RAI",
+        "ElementSpacing = " + " ".join(str(s) for s in spacing),
+        f"DimSize = {w} {h} {z}",
+    ]
+    lines += list(extra_keys)
+    lines += ["ElementType = MET_UCHAR", "ElementDataFile = LOCAL"]
+    return ("\n".join(lines) + "\n").encode() + payload
+
+
+def test_read_itk_shaped_compressed(tmp_path, rng):
+    arr = (rng.random((3, 5, 4)) * 255).astype(np.uint8)
+    p = tmp_path / "itk_style.mha"
+    p.write_bytes(_itk_style_bytes(arr, (0.28, 0.29, 0.3), compressed=True))
+    img = read_mha(p)
+    np.testing.assert_array_equal(img.array, arr)
+    assert img.spacing == pytest.approx((0.28, 0.29, 0.3))
+    assert tuple(img.offset[:2]) == pytest.approx((1.5, -2.0))
+
+
+def test_read_itk_shaped_uncompressed_with_unknown_keys(tmp_path, rng):
+    arr = (rng.random((2, 4, 6)) * 255).astype(np.uint8)
+    p = tmp_path / "itk_style_raw.mha"
+    p.write_bytes(_itk_style_bytes(
+        arr, (1.0, 1.0, 1.0), compressed=False,
+        extra_keys=("ITK_InputFilterName = MetaImageIO",
+                    "Modality = MET_MOD_US")))
+    img = read_mha(p)
+    np.testing.assert_array_equal(img.array, arr)
+
+
+def test_roundtrip_through_itk_field_order(tmp_path, rng):
+    """Our writer's output re-read after being re-serialised in ITK's field
+    order must be voxel-identical (header layout must not matter)."""
+    arr = (rng.random((4, 6, 5)) * 255).astype(np.uint8)
+    ours = tmp_path / "ours.mha"
+    write_mha(ours, MetaImage(arr, spacing=(0.5, 0.5, 0.5)))
+    re_read = read_mha(ours)
+    theirs = tmp_path / "theirs.mha"
+    theirs.write_bytes(_itk_style_bytes(np.asarray(re_read.array),
+                                        (0.5, 0.5, 0.5)))
+    np.testing.assert_array_equal(read_mha(theirs).array, arr)

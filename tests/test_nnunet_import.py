@@ -122,3 +122,57 @@ def test_normalize_containers():
                               "_orig_mod.decoder.y": np.ones(1)}}
     out = normalize_nnunet_state_dict(sd)
     assert set(out) == {"encoder.x", "decoder.y"}
+
+
+_REF_PLAN_DIR = (
+    "/root/reference/resources/nnUNet_results/Dataset300_ACOptimalSuboptimal/"
+    "nnUNetTrainer__nnUNetPlans__2d")
+
+
+def test_load_plans_config_reference_file():
+    """Build the baseline config from the ACTUAL reference plans.json
+    (reference loader: model.py:35-60; plan values plans.json:26-49)."""
+    import pytest
+    from pathlib import Path
+
+    from att_aspp_unet_tpu.utils.nnunet_import import load_plans_config
+
+    plans = Path(_REF_PLAN_DIR) / "plans.json"
+    dataset = Path(_REF_PLAN_DIR) / "dataset.json"
+    if not plans.exists():
+        pytest.skip("reference resources not mounted")
+
+    cfg = load_plans_config(plans, dataset_json=dataset)
+    assert cfg.base_c == 32 and cfg.max_c == 512
+    assert cfg.n_stages == 7 and cfg.conv_per_stage == 2
+    assert cfg.patch_size == (448, 576)
+    assert cfg.num_classes == 3 and cfg.in_channels == 1
+
+    # and the model actually builds from it
+    model = PlainConvUNet.from_config(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                           train=False)
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_load_plans_config_rejects_unknown():
+    import json
+
+    import pytest
+
+    from att_aspp_unet_tpu.utils.nnunet_import import load_plans_config
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "plans.json")
+        with open(p, "w") as f:
+            json.dump({"configurations": {"2d": {
+                "UNet_class_name": "ResEncUNet",
+                "n_conv_per_stage_encoder": [2, 2],
+                "patch_size": [64, 64],
+                "UNet_base_num_features": 16}}}, f)
+        with pytest.raises(ValueError):
+            load_plans_config(p)
+        with pytest.raises(KeyError):
+            load_plans_config(p, configuration="3d_fullres")

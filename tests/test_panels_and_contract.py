@@ -107,3 +107,31 @@ def test_ac_value_through_refine_and_measure(rng):
     ac = engine.measure(masks[0], (sp, sp))
     want = float(ellipse_circumference(a * sp, b * sp))
     assert ac == pytest.approx(want, rel=0.04)
+
+
+def test_dockerfile_copy_sources_exist():
+    """Packaging guard: every COPY source in the Dockerfile must exist in
+    the build context (round-1 shipped a COPY of a missing resources/)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    for line in (root / "Dockerfile").read_text().splitlines():
+        m = re.match(r"\s*COPY\s+(?:--\S+\s+)*(\S+)\s+\S+\s*$", line)
+        if m:
+            src = m.group(1)
+            assert (root / src).exists(), f"Dockerfile COPY source missing: {src}"
+
+
+def test_vendored_plans_load():
+    """The vendored resources/ plan builds the default baseline config."""
+    from pathlib import Path
+
+    from att_aspp_unet_tpu.config import PlainUNetConfig
+    from att_aspp_unet_tpu.utils.nnunet_import import load_plans_config
+
+    root = Path(__file__).resolve().parent.parent
+    d = (root / "resources/nnUNet_results/Dataset300_ACOptimalSuboptimal/"
+         "nnUNetTrainer__nnUNetPlans__2d")
+    cfg = load_plans_config(d / "plans.json", dataset_json=d / "dataset.json")
+    assert cfg == PlainUNetConfig()
