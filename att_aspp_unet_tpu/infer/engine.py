@@ -97,6 +97,49 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "img_size", "clahe_clip", "clahe_grid", "median_kernel",
+    "batch", "tta", "gauss_k", "threshold", "n_cand", "min_area_px",
+    "min_area_frac", "close_kernel", "bucket_hw"))
+def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
+                       clahe_clip, clahe_grid, median_kernel, batch, tta,
+                       gauss_k, threshold, n_cand, min_area_px,
+                       min_area_frac, close_kernel, bucket_hw):
+    """The WHOLE device side of predict_case as one program: enhance →
+    forward → resize-back → blur → threshold → top-M candidate pick →
+    bucket-padded refine.  One dispatch instead of four — per-dispatch
+    latency through the axon tunnel is ~50 ms, so collapsing round trips is
+    worth ~0.15 s per sweep (CLAUDE.md hard rule: everything hot under ONE
+    jit)."""
+    from ..postprocess.refine import _refine_mask_padded
+
+    probs = _predict_full_impl(apply_fn, variables, sweep, img_size,
+                               clahe_clip, clahe_grid, median_kernel, batch,
+                               tta, gauss_k)
+    binary = (probs > threshold).astype(jnp.uint8)
+    n = binary.shape[0]
+    areas = binary.sum(axis=(-2, -1), dtype=jnp.int32)
+    # reference candidate order = np.argsort(areas)[::-1]: descending area,
+    # higher frame index first on ties.  Composite key area·K + idx (K =
+    # next pow2 ≥ n) realises exactly that in one device sort; the key fits
+    # int32 for any sweep (area ≤ H·W < 2²⁰, idx < K ≤ 1024).
+    k_pow = 1 << max(1, (n - 1).bit_length())
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = areas * jnp.int32(k_pow) + idx
+    # mesh staging may have appended all-background pad frames; rank them
+    # strictly below every real frame (a padded index must never win)
+    key = jnp.where(idx < n_valid, key, -1)
+    order = jnp.argsort(-key)
+    cand_idx = order[:n_cand]
+    cand = binary[cand_idx]
+    H, W = binary.shape[-2], binary.shape[-1]
+    hb, wb = bucket_hw
+    padded = jnp.pad(cand, ((0, 0), (0, hb - H), (0, wb - W)))
+    refined = _refine_mask_padded(padded, jnp.asarray([H, W], jnp.int32),
+                                  min_area_px, min_area_frac, close_kernel)
+    return cand_idx, refined[..., :H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=(
     "apply_fn", "clahe_clip", "clahe_grid", "median_kernel", "roi", "batch"))
 def _predict_roi_impl(apply_fn, variables, frames, clahe_clip,
                       clahe_grid, median_kernel, roi, batch):
@@ -197,23 +240,26 @@ class AttAsppEngine:
         which the margin absorbs) at a small fraction of the refine cost.
         Selection within the candidates is the exact cv2-parity re-rank.
         """
+        from ..postprocess.refine import refine_bucket_hw
+
+        p = self.cfg.preprocess
         pc = self.cfg.predict
         thr = pc.threshold if threshold is None else threshold
-        probs = self.predict_full(sweep)
-        binary = (probs > thr).astype(jnp.uint8)
-
-        n = binary.shape[0]
+        n, H, W = sweep.shape
         m = max(1, min(pc.topk_frames + pc.refine_margin, n))
-        areas = np.asarray(binary.sum(axis=(-2, -1)))
-        cand_idx = np.argsort(areas)[::-1][:m]          # reference tie order
-        cand = binary[jnp.asarray(cand_idx)]
-        # shape-bucketed: one refine compile serves every sweep resolution
-        refined = refine_mask_bucketed(cand, pc.min_area_px,
-                                       pc.min_area_frac, pc.close_kernel)
 
+        staged, pad = self._stage_frames(sweep)
+        cand_idx, refined = _predict_case_impl(
+            self._apply, self.variables, staged, jnp.int32(n), p.img_size,
+            p.clahe_clip, p.clahe_grid, p.median_kernel, pc.frame_batch,
+            pc.tta_hflip, pc.gaussian_kernel, float(thr), m, pc.min_area_px,
+            pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))
+
+        cand_idx = np.asarray(cand_idx)
+        refined = np.asarray(refined)
         local = select_best_frame_exact(refined, pc.topk_frames)
         best_frame = int(cand_idx[local])
-        best_mask = np.asarray(refined[local])
+        best_mask = refined[local]
         ac = (self.measure(best_mask, spacing)
               if spacing is not None else float("nan"))
         return best_frame, best_mask, ac

@@ -105,18 +105,17 @@ def select_best_frame_exact(mask_stack, topk: int = 5) -> int:
     the largest-area candidate, like the reference's ``max`` over the
     descending-area index list.
 
-    The area reduce and candidate gather run on device; only the K candidate
-    masks are pulled to the host for exact tracing (K·H·W ≪ N·H·W).  The
-    candidate ordering replicates ``areas.argsort()[::-1]`` exactly —
-    including its higher-index-first tie order — so tied scores resolve to
-    the same frame the reference picks.
+    Pure host code (tracing is sequential anyway; callers hand it the small
+    already-materialised candidate set — the device half of the pipeline is
+    ``infer.engine._predict_case_impl``).  The candidate ordering replicates
+    ``areas.argsort()[::-1]`` exactly — including its higher-index-first tie
+    order — so tied scores resolve to the same frame the reference picks.
     """
     from ..measure.contour import circularity_score
 
-    ms = jnp.asarray(mask_stack)
-    areas = np.asarray((ms > 0).sum(axis=(-2, -1)))
+    ms = np.asarray(mask_stack)
+    areas = (ms > 0).reshape(ms.shape[0], -1).sum(axis=1)
     k = max(1, min(topk, len(areas)))
     idx = np.argsort(areas)[::-1][:k]
-    cand = np.asarray(ms[jnp.asarray(idx)])
-    scores = [circularity_score(m) for m in cand]
+    scores = [circularity_score(ms[i]) for i in idx]
     return int(idx[int(np.argmax(scores))])

@@ -225,10 +225,19 @@ def fit(cfg: Config, train_ds: ArrayDataset, val_ds: ArrayDataset,
                          in_shardings=(rep, data_sh, data_sh, rep),
                          out_shardings=(rep, rep),
                          donate_argnums=(0,))
-    # eval batches may be ragged (drop_last=False) — replicate their inputs
-    eval_step = jax.jit(make_eval_step(cfg),
-                        in_shardings=(rep, rep, rep),
-                        out_shardings=rep)
+    # full-size eval batches shard over the data axis like training; only
+    # the ragged remainder batch (drop_last=False) runs replicated
+    eval_fn = make_eval_step(cfg)
+    eval_step_sharded = jax.jit(eval_fn, in_shardings=(rep, data_sh, data_sh),
+                                out_shardings=rep)
+    eval_step_repl = jax.jit(eval_fn, in_shardings=(rep, rep, rep),
+                             out_shardings=rep)
+    d_size = mesh.shape[mesh.axis_names[0]]
+
+    def eval_step(state, imgs, msks):
+        if imgs.shape[0] % d_size == 0:
+            return eval_step_sharded(state, imgs, msks)
+        return eval_step_repl(state, imgs, msks)
 
     out_dir = Path(output_dir) / ("ckpt_main" if tcfg.stage == "main"
                                   else "ckpt_finetune")
