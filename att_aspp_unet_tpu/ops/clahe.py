@@ -142,9 +142,9 @@ def clahe(frames: jax.Array, clip_limit: float = 1.0,
         use_pallas = False
 
     if use_pallas:
-        from .pallas.clahe_interp import clahe_interp_pallas
-        out_blocks = clahe_interp_pallas(blocks.astype(jnp.int32),
-                                         corner_luts, wts)
+        from .pallas.clahe_interp import clahe_interp_pallas_batched
+        out_blocks = clahe_interp_pallas_batched(blocks.astype(jnp.int32),
+                                                 corner_luts, wts)
     else:
         bins = jnp.arange(256, dtype=jnp.uint8)
 

@@ -33,6 +33,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kernel_batched(blocks_ref, luts_ref, wts_ref, out_ref):
+    """One dual-grid block per program, grid = (frames × blocks).
+
+    The Mosaic pipeline double-buffers the per-block DMAs across grid steps
+    (the one-hot never leaves VMEM), unlike the legacy one-frame-per-program
+    kernel whose ``fori_loop`` serialised 81 un-pipelined matmuls.
+
+    blocks: (1, 1, P) int32 pixel values of this block (leading axis is the
+            flattened frame×block index; the middle singleton keeps the
+            last-two-dims block shape (1, P) legal for Mosaic — 1 equals the
+            full array dim, P is 128-aligned)
+    luts:   (1, 256, 4) f32 corner LUTs of this block
+    wts:    (P, 4) f32 bilinear corner weights (shared by every block; the
+            constant index map makes Mosaic fetch it once)
+    out:    (1, 1, P) f32 blended values
+    """
+    P = blocks_ref.shape[2]
+    v = blocks_ref[0, 0, :]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (P, 256), 1)
+    onehot = (v[:, None] == bins).astype(jnp.bfloat16)         # VMEM only
+    luts = luts_ref[0].astype(jnp.bfloat16)                    # (256, 4)
+    g = jax.lax.dot_general(
+        onehot, luts, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (P, 4)
+    out_ref[0, 0, :] = jnp.sum(g * wts_ref[...], axis=1)
+
+
 def _kernel(blocks_ref, luts_ref, wts_ref, out_ref):
     """One frame per program.
 
@@ -57,6 +84,46 @@ def _kernel(blocks_ref, luts_ref, wts_ref, out_ref):
         return 0
 
     jax.lax.fori_loop(0, B, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def clahe_interp_pallas_batched(blocks: jax.Array, corner_luts: jax.Array,
+                                wts: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """blocks (N, B, P) int32, corner_luts (N, B, 256, 4) f32, wts (P, 4) f32
+    → blended (N, B, P) f32.  Grid = (N·B,): one block per program, DMAs
+    pipelined across the 11k-step grid."""
+    N, B, P = blocks.shape
+    P_pad = ((P + 127) // 128) * 128
+    orig_P = P
+    if P_pad != P:
+        blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, P_pad - P)),
+                         constant_values=-1)
+        wts = jnp.pad(wts, ((0, P_pad - P), (0, 0)))
+        P = P_pad
+
+    # flatten (frame, block) so every BlockSpec's last-two dims are either
+    # 128-aligned or the full array extent (Mosaic's tiling rule)
+    flat_blocks = blocks.reshape(N * B, 1, P).astype(jnp.int32)
+    flat_luts = corner_luts.reshape(N * B, 256, 4)
+
+    out = pl.pallas_call(
+        _kernel_batched,
+        grid=(N * B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N * B, 1, P), jnp.float32),
+        interpret=interpret,
+    )(flat_blocks, flat_luts, wts)
+    return out.reshape(N, B, P)[:, :, :orig_P]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -6,7 +6,29 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from att_aspp_unet_tpu.ops.pallas.clahe_interp import clahe_interp_pallas
+from att_aspp_unet_tpu.ops.pallas.clahe_interp import (
+    clahe_interp_pallas, clahe_interp_pallas_batched)
+
+
+@pytest.mark.parametrize("kernel", [clahe_interp_pallas,
+                                    clahe_interp_pallas_batched])
+def test_clahe_interp_matches_gather(rng, kernel):
+    N, B, P = 2, 6, 64
+    blocks = (rng.random((N, B, P)) * 256).astype(np.int32)
+    luts = np.sort((rng.random((N, B, 256, 4)) * 255).round(), axis=2
+                   ).astype(np.float32)
+    wts = rng.random((P, 4)).astype(np.float32)
+    wts = wts / wts.sum(axis=1, keepdims=True)
+
+    got = np.asarray(kernel(jnp.asarray(blocks), jnp.asarray(luts),
+                            jnp.asarray(wts), interpret=True))
+
+    want = np.zeros((N, B, P), np.float32)
+    for n in range(N):
+        for b in range(B):
+            g = luts[n, b][blocks[n, b]]            # (P, 4)
+            want[n, b] = (g * wts).sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
 def test_clahe_interp_matches_xla(rng):
