@@ -169,8 +169,16 @@ class PredictConfig:
     min_area_px: int = 20
     min_area_frac: float = 0.0015
     close_kernel: int = 7
-    frame_batch: int = 32            # frames per forward micro-batch (v5e sweet
-                                     # spot; the reference looped batches of 8)
+    frame_batch: int = 32            # frames per forward micro-batch.  b16
+                                     # wins forward-only (294 vs 269 f/s,
+                                     # probe r3) but LOSES 0.39 s/sweep in
+                                     # the full fused pipeline (probe r10c:
+                                     # 1.01 s vs 0.62 s) — keep 32.
+    # packed BN-folded forward with fused Pallas conv pairs
+    # (infer/fast_forward.py): "auto" = on for single-device TPU runs,
+    # off elsewhere; True/False force it.  Default off until the fused
+    # kernel measurably beats the flax path on hardware (probe r7/r9).
+    fast_forward: object = False
     roi_size: int = 224              # ROI deployment path (model_attention_aspp.py)
     subsample_frames: int = 128      # linspace subsample in the ROI path
 

@@ -97,9 +97,9 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "img_size", "clahe_clip", "clahe_grid", "median_kernel",
-    "batch", "tta", "gauss_k", "threshold", "n_cand", "min_area_px",
-    "min_area_frac", "close_kernel", "bucket_hw"))
+    "apply_fn", "n_valid", "img_size", "clahe_clip", "clahe_grid",
+    "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_cand",
+    "min_area_px", "min_area_frac", "close_kernel", "bucket_hw"))
 def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
                        clahe_clip, clahe_grid, median_kernel, batch, tta,
                        gauss_k, threshold, n_cand, min_area_px,
@@ -136,7 +136,22 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
     padded = jnp.pad(cand, ((0, 0), (0, hb - H), (0, wb - W)))
     refined = _refine_mask_padded(padded, jnp.asarray([H, W], jnp.int32),
                                   min_area_px, min_area_frac, close_kernel)
-    return cand_idx, refined[..., :H, :W]
+    # bit-pack the candidate masks along W before they leave the device: the
+    # axon tunnel moves ~3.3 MB of uint8 masks in ~0.3 s (it dominated the
+    # measured e2e, probe r10); 8× fewer bytes is ~8× less transfer time.
+    # np.unpackbits-compatible: byte j holds columns 8j..8j+7, MSB first.
+    return cand_idx, _packbits_w(refined[..., :H, :W])
+
+
+def _packbits_w(m: jax.Array) -> jax.Array:
+    """(…, W) uint8 0/1 → (…, ceil(W/8)) uint8, np.unpackbits bit order."""
+    W = m.shape[-1]
+    Wp = ((W + 7) // 8) * 8
+    if Wp != W:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, Wp - W)])
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    grouped = m.reshape(*m.shape[:-1], Wp // 8, 8)
+    return jnp.sum(grouped * weights, axis=-1, dtype=jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -193,6 +208,37 @@ class AttAsppEngine:
             self.variables = jax.device_put(self.variables, replicate(mesh))
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
+        self._maybe_enable_fast_forward()
+
+    def _maybe_enable_fast_forward(self):
+        """Swap in the packed BN-folded forward (fused Pallas conv pairs,
+        ``infer/fast_forward.py``) when it covers this config.
+
+        ``auto`` enables it only for single-device TPU runs: on CPU the
+        Pallas kernels would need interpret mode, and under a multi-device
+        mesh the pallas_call would have to be shard_mapped — both stay on
+        the flax path.
+        """
+        mode = getattr(self.cfg.predict, "fast_forward", "auto")
+        if mode == "auto":
+            n_mesh = 1 if self.mesh is None else self.mesh.size
+            enable = jax.default_backend() == "tpu" and n_mesh == 1
+        else:
+            enable = bool(mode)
+        if not enable:
+            return
+        from . import fast_forward as _ff
+        if not (_ff.supports(self.model) and self.variables["batch_stats"]):
+            return
+        plan = _ff.pack_variables(self.model, self.variables)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            plan = jax.device_put(plan, replicate(self.mesh))
+        self.variables = plan
+        # forcing the fast path on CPU (tests) runs the Pallas pairs in
+        # interpret mode
+        self._apply = _ff.make_fast_apply(
+            self.model, interpret=jax.default_backend() == "cpu")
 
     def _stage_frames(self, frames: jax.Array):
         """Shard (pad) the frame axis over the mesh; returns (array, n_pad)."""
@@ -240,6 +286,18 @@ class AttAsppEngine:
         which the margin absorbs) at a small fraction of the refine cost.
         Selection within the candidates is the exact cv2-parity re-rank.
         """
+        return self.predict_case_collect(self.predict_case_submit(
+            sweep, threshold), spacing)
+
+    def predict_case_submit(self, sweep: np.ndarray,
+                            threshold: Optional[float] = None):
+        """Dispatch the device side of :meth:`predict_case` without blocking.
+
+        Returns an opaque handle for :meth:`predict_case_collect`.  The
+        split lets a serving loop pipeline sweeps: submit sweep i+1 while
+        the host finishes (transfer + exact select + ellipse AC) sweep i,
+        hiding the ~50 ms/round-trip axon-tunnel latency under device
+        compute."""
         from ..postprocess.refine import refine_bucket_hw
 
         p = self.cfg.preprocess
@@ -250,13 +308,21 @@ class AttAsppEngine:
 
         staged, pad = self._stage_frames(sweep)
         cand_idx, refined = _predict_case_impl(
-            self._apply, self.variables, staged, jnp.int32(n), p.img_size,
+            self._apply, self.variables, staged, n, p.img_size,
             p.clahe_clip, p.clahe_grid, p.median_kernel, pc.frame_batch,
             pc.tta_hflip, pc.gaussian_kernel, float(thr), m, pc.min_area_px,
             pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))
+        return cand_idx, refined, W
 
-        cand_idx = np.asarray(cand_idx)
-        refined = np.asarray(refined)
+    def predict_case_collect(self, handle,
+                             spacing: Optional[Tuple[float, float]] = None):
+        """Finish a :meth:`predict_case_submit`: one combined device→host
+        pull of (candidate indices, bit-packed masks), exact circularity
+        re-rank, ellipse AC."""
+        pc = self.cfg.predict
+        cand_dev, refined_dev, W = handle
+        cand_idx, packed = jax.device_get((cand_dev, refined_dev))
+        refined = np.unpackbits(packed, axis=-1, count=W)
         local = select_best_frame_exact(refined, pc.topk_frames)
         best_frame = int(cand_idx[local])
         best_mask = refined[local]

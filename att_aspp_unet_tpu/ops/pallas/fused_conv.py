@@ -40,29 +40,44 @@ _VMEM_STACK_BUDGET = 9 * 1024 * 1024  # bytes allowed for one K-stack buffer
 
 def _xshift(a: jax.Array, d: int) -> jax.Array:
     """Shift the lane (last) dim so column x reads source column x+d,
-    zero-filled at the frame edge.  a: (C, rows, W)."""
-    if d == -1:
-        return jnp.pad(a, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
-    if d == 1:
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
-    return a
+    zero-filled at the frame edge.  a: (C, rows, W) f32.
+
+    Implemented as a lane rotation + edge mask: Mosaic rejects the obvious
+    pad-then-slice (it leaves the value with a nonzero lane offset, and the
+    later K-stack concat hits "result/input offset mismatch on non-concat
+    dimension").  ``pltpu.roll`` lowers to the native rotate and returns an
+    offset-free value — but only for 32-bit element types, hence f32 here.
+    """
+    if d == 0:
+        return a
+    W = a.shape[2]
+    r = pltpu.roll(a, (-d) % W, axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+    mask = (col < W - 1) if d == 1 else (col > 0)
+    return jnp.where(mask, r, jnp.zeros_like(r))
 
 
-def _conv3x3(x: jax.Array, w: jax.Array, rows: int, full_stack: bool):
-    """x: (Cin, rows+2, W) bf16 — 1-row halo each side, zero-filled where the
-    halo leaves the frame.  w: (Cout, 9·Cin) with (dy, dx, ci) K-order.
-    Returns f32 (Cout, rows·W)."""
-    cin = x.shape[0]
-    W = x.shape[2]
+def _conv3x3(x: jax.Array, w: jax.Array, full_stack: bool):
+    """x: (Cin, S, W) bf16.  w: (Cout, 9·Cin) with (dy, dx, ci) K-order.
+    Returns f32 (Cout, S·W): output row s is the conv of input rows
+    s−1..s+1, so rows 0 and S−1 carry row-wrap garbage — callers compute on
+    an 8-aligned halo'd block and slice out the valid center.  All row and
+    lane shifts are ``pltpu.roll``s of one f32 copy (offset-free layouts;
+    rotate supports only 32-bit data), cast back to bf16 for the MXU."""
+    cin, S, W = x.shape
+    xf = x.astype(jnp.float32)
 
     def taps(dy):
-        return [_xshift(x[:, dy:dy + rows, :], dx - 1) for dx in range(3)]
+        # output row s reads input row s + dy − 1
+        base = xf if dy == 1 else pltpu.roll(xf, (1 - dy) % S, axis=1)
+        return [_xshift(base, dx - 1).astype(jnp.bfloat16)
+                for dx in range(3)]
 
     if full_stack:
         stack = jnp.concatenate([t for dy in range(3) for t in taps(dy)],
                                 axis=0)
         return jax.lax.dot_general(
-            w, stack.reshape(9 * cin, rows * W),
+            w, stack.reshape(9 * cin, S * W),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -71,7 +86,7 @@ def _conv3x3(x: jax.Array, w: jax.Array, rows: int, full_stack: bool):
     for dy in range(3):
         stack = jnp.concatenate(taps(dy), axis=0)
         part = jax.lax.dot_general(
-            wr[:, dy, :], stack.reshape(3 * cin, rows * W),
+            wr[:, dy, :], stack.reshape(3 * cin, S * W),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
@@ -79,34 +94,36 @@ def _conv3x3(x: jax.Array, w: jax.Array, rows: int, full_stack: bool):
 
 
 def _make_kernel(N, cin, cmid, cout, H, W, R, full1, full2, out_dtype):
-    Hp = H + 4  # input pre-padded by 2 zero rows each side
+    S = R + 8  # 8-aligned DMA block: 2-row true halo + 6 rows of slack
 
     def kernel(x_hbm, w1_ref, sb1_ref, w2_ref, sb2_ref, out_ref, xs, sem):
         n = pl.program_id(0)
         r = pl.program_id(1)
 
+        # local row s ↔ frame row r·R + s − 2 (xp is pre-padded (2, 6))
         dma = pltpu.make_async_copy(
-            x_hbm.at[n, :, pl.ds(r * R, R + 4), :], xs, sem)
+            x_hbm.at[n, :, pl.ds(r * R, S), :], xs, sem)
         dma.start()
         dma.wait()
         x = xs[...]
 
-        # conv1 on R+2 rows (local h row j ↔ frame row r·R + j − 1)
-        acc1 = _conv3x3(x, w1_ref[...], R + 2, full1)
+        acc1 = _conv3x3(x, w1_ref[...], full1)
         s1 = sb1_ref[0][:, None]
         b1 = sb1_ref[1][:, None]
         h = jnp.maximum(acc1 * s1 + b1, 0.0)
-        h = h.reshape(cmid, R + 2, W)
+        h = h.reshape(cmid, S, W)
         # conv2's padding is zeros on the true frame: kill h rows outside it
-        yrow = jax.lax.broadcasted_iota(jnp.int32, (1, R + 2, 1), 1) \
-            + r * R - 1
+        # (this also kills conv1's row-wrap garbage at s=0 when r=0; interior
+        # wrap rows s∈{0, S−1} are simply never read by the output slice)
+        yrow = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + r * R - 2
         h = jnp.where((yrow >= 0) & (yrow < H), h, 0.0).astype(jnp.bfloat16)
 
-        acc2 = _conv3x3(h, w2_ref[...], R, full2)
+        acc2 = _conv3x3(h, w2_ref[...], full2)
         s2 = sb2_ref[0][:, None]
         b2 = sb2_ref[1][:, None]
         y = jnp.maximum(acc2 * s2 + b2, 0.0)
-        out_ref[0] = y.reshape(cout, R, W).astype(out_dtype)
+        y = y.reshape(cout, S, W)
+        out_ref[0] = y[:, 2:2 + R, :].astype(out_dtype)
 
     return kernel
 
@@ -114,7 +131,7 @@ def _make_kernel(N, cin, cmid, cout, H, W, R, full1, full2, out_dtype):
 def _row_block(H: int, W: int, cin: int) -> int:
     """Largest power-of-two row block whose K-stack fits the VMEM budget."""
     R = min(H, 64)
-    while R > 8 and 9 * cin * (R + 2) * W * 2 > _VMEM_STACK_BUDGET:
+    while R > 8 and 9 * cin * (R + 8) * W * 2 > _VMEM_STACK_BUDGET:
         R //= 2
     return R
 
@@ -141,9 +158,9 @@ def fused_double_cbr(x: jax.Array,
     num_r = H // R
     assert H % R == 0, (H, R)
 
-    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, 0), (2, 2), (0, 0)))
-    full1 = 9 * cin * (R + 4) * W * 2 <= _VMEM_STACK_BUDGET
-    full2 = 9 * cmid * (R + 2) * W * 2 <= _VMEM_STACK_BUDGET
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, 0), (2, 6), (0, 0)))
+    full1 = 9 * cin * (R + 8) * W * 2 <= _VMEM_STACK_BUDGET
+    full2 = 9 * cmid * (R + 8) * W * 2 <= _VMEM_STACK_BUDGET
     sb1 = jnp.stack([scale1, bias1]).astype(jnp.float32)
     sb2 = jnp.stack([scale2, bias2]).astype(jnp.float32)
 
@@ -167,9 +184,13 @@ def fused_double_cbr(x: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, cout, H, W), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((cin, R + 4, W), jnp.bfloat16),
+            pltpu.VMEM((cin, R + 8, W), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the wide pairs (e.g. u3: 384→192 at 128²) hold ~22 MB of stack
+        # values at once; the 16 MB default scoped-vmem limit is too tight
+        # (v5e has 128 MB of VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xp, w1.astype(jnp.bfloat16), sb1, w2.astype(jnp.bfloat16), sb2)
 
