@@ -94,9 +94,55 @@ def _warp(img, coords_y, coords_x, order: int):
         img, [coords_y, coords_x], order=order, mode="constant", cval=0.0)
 
 
-def _augment_one(key, img_u8, mask_u8, cfg: AugmentConfig):
-    """img, mask: (H, W) uint8 → augmented (H, W) uint8 pair."""
-    H, W = img_u8.shape
+def _warp_pair_batch(img, mask, sy, sx):
+    """Bilinear-warp ``img`` and nearest-warp ``mask`` in one pass.
+
+    All inputs (B, H, W) f32.  Exactly ``map_coordinates(order=1/0,
+    mode='constant', cval=0)`` — but as FOUR corner gathers of (img, mask)
+    pairs from one flattened operand instead of five separate 2-D gathers:
+    measured 0.064 s vs 0.163 s at (8, 512²) on v5e (probe r8c; the warp was
+    53 % of the whole train step, probe r8).  The nearest-neighbour corner
+    is one of the four bilinear corners, selected with round-half-away-from-
+    zero semantics so mask parity with map_coordinates holds bit-exactly.
+    """
+    B, H, W = img.shape
+    pair = jnp.stack([img, mask], axis=-1).reshape(B * H * W, 2)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = sy - y0
+    fx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    # order=0 rounds half away from zero (jax _round_half_away_from_zero),
+    # NOT banker's rounding
+    _r = lambda s: jnp.where(s >= 0, jnp.floor(s + 0.5),
+                             jnp.ceil(s - 0.5)).astype(jnp.int32)
+    yr = _r(sy)
+    xr = _r(sx)
+    b = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0)
+
+    def corner(dy, dx):
+        yi = y0i + dy
+        xi = x0i + dx
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        flat = (b * H + jnp.clip(yi, 0, H - 1)) * W + jnp.clip(xi, 0, W - 1)
+        v = jnp.take(pair, flat, axis=0) * valid[..., None].astype(img.dtype)
+        return v, (yi == yr) & (xi == xr)
+
+    (c00, n00), (c01, n01) = corner(0, 0), corner(0, 1)
+    (c10, n10), (c11, n11) = corner(1, 0), corner(1, 1)
+    wy = fy[..., None]
+    wx = fx[..., None]
+    warped = (c00 * (1 - wy) * (1 - wx) + c01 * (1 - wy) * wx +
+              c10 * wy * (1 - wx) + c11 * wy * wx)
+    near = jnp.where(n00, c00[..., 1],
+                     jnp.where(n01, c01[..., 1],
+                               jnp.where(n10, c10[..., 1], c11[..., 1])))
+    return warped[..., 0], near
+
+
+def _coords_one(key, H, W, cfg: AugmentConfig):
+    """Per-image warp coordinates + intensity parameters (vmapped)."""
     kp, ke = jax.random.split(key)
     params = _sample_params(kp, cfg)
 
@@ -111,18 +157,30 @@ def _augment_one(key, img_u8, mask_u8, cfg: AugmentConfig):
     sx = sx + use_el * dx
     sy = sy + use_el * dy
 
-    img = _warp(img_u8.astype(jnp.float32), sy, sx, order=1)
-    mask = _warp(mask_u8.astype(jnp.float32), sy, sx, order=0)
-
-    # --- intensity (image only), albumentations conventions on u8 scale ---
     g = jnp.where(params["do_gamma"], params["gamma"], 1.0)
-    img = jnp.power(jnp.clip(img / 255.0, 0.0, 1.0), g) * 255.0
-
     alpha = 1.0 + jnp.where(params["do_bc"], params["contrast"], 0.0)
     beta = jnp.where(params["do_bc"], params["brightness"], 0.0) * 255.0
-    img = jnp.clip(img * alpha + beta, 0.0, 255.0)
+    return sy, sx, g, alpha, beta
 
+
+def _augment_one(key, img_u8, mask_u8, cfg: AugmentConfig):
+    """img, mask: (H, W) uint8 → augmented (H, W) uint8 pair.  (Reference
+    path for tests; ``augment_batch`` uses the batched fused-gather warp.)"""
+    H, W = img_u8.shape
+    sy, sx, g, alpha, beta = _coords_one(key, H, W, cfg)
+    img, mask = _warp_pair_batch(img_u8.astype(jnp.float32)[None],
+                                 mask_u8.astype(jnp.float32)[None],
+                                 sy[None], sx[None])
+    img, mask = img[0], mask[0]
+    img = _apply_intensity(img, g, alpha, beta)
     return jnp.round(img).astype(jnp.uint8), (mask > 127).astype(jnp.uint8)
+
+
+def _apply_intensity(img, g, alpha, beta):
+    """Gamma then brightness/contrast, albumentations conventions on the
+    u8 scale.  g/alpha/beta broadcast over the trailing (H, W) dims."""
+    img = jnp.power(jnp.clip(img / 255.0, 0.0, 1.0), g) * 255.0
+    return jnp.clip(img * alpha + beta, 0.0, 255.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "train"))
@@ -134,10 +192,16 @@ def augment_batch(key, images_u8: jax.Array, masks_u8: jax.Array,
     scaling — the augmented-image path of ``FetalACDataset``.
     """
     if train:
-        keys = jax.random.split(key, images_u8.shape[0])
-        images_u8, masks_u8 = jax.vmap(
-            lambda k, i, m: _augment_one(k, i, m, cfg))(keys, images_u8,
-                                                        masks_u8)
+        B, H, W = images_u8.shape
+        keys = jax.random.split(key, B)
+        sy, sx, g, alpha, beta = jax.vmap(
+            lambda k: _coords_one(k, H, W, cfg))(keys)
+        img, mask = _warp_pair_batch(images_u8.astype(jnp.float32),
+                                     masks_u8.astype(jnp.float32), sy, sx)
+        img = _apply_intensity(img, g[:, None, None], alpha[:, None, None],
+                               beta[:, None, None])
+        images_u8 = jnp.round(img).astype(jnp.uint8)
+        masks_u8 = (mask > 127).astype(jnp.uint8)
     else:
         masks_u8 = (masks_u8 > 127).astype(jnp.uint8)
     enhanced = median3x3(clahe(images_u8, 1.0, (8, 8)))

@@ -85,3 +85,36 @@ def test_mask_nearest_preserves_binary():
     img = (np.random.default_rng(0).random((48, 48)) > 0.5).astype(np.float32)
     out = _apply_affine(img, _params(angle=0.2, scale=1.05), order=0)
     assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
+def test_warp_pair_batch_matches_map_coordinates():
+    """The fused 4-corner-gather warp (probe r8c, 2.5× faster on v5e) must
+    reproduce jax.scipy.ndimage.map_coordinates bit-semantics: order=1 for
+    the image, order=0 (banker's rounding) for the mask, cval=0 borders."""
+    import jax
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.train.augment import _warp_pair_batch
+
+    rng = np.random.default_rng(3)
+    B, H, W = 3, 40, 56
+    img = rng.random((B, H, W)).astype(np.float32)
+    msk = (rng.random((B, H, W)) > 0.6).astype(np.float32) * 255.0
+    # coords spanning in-bounds, out-of-bounds, and exact .5 fractions
+    sy = (rng.random((B, H, W)) * (H + 8) - 4).astype(np.float32)
+    sx = (rng.random((B, H, W)) * (W + 8) - 4).astype(np.float32)
+    sy[0, :4] = np.round(sy[0, :4]) + 0.5
+    sx[0, :4] = np.round(sx[0, :4]) + 0.5
+
+    got_img, got_msk = jax.jit(_warp_pair_batch)(
+        jnp.asarray(img), jnp.asarray(msk), jnp.asarray(sy), jnp.asarray(sx))
+
+    for i in range(B):
+        ref_img = jax.scipy.ndimage.map_coordinates(
+            img[i], [sy[i], sx[i]], order=1, mode="constant", cval=0.0)
+        ref_msk = jax.scipy.ndimage.map_coordinates(
+            msk[i], [sy[i], sx[i]], order=0, mode="constant", cval=0.0)
+        np.testing.assert_allclose(np.asarray(got_img[i]),
+                                   np.asarray(ref_img), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got_msk[i]),
+                                      np.asarray(ref_msk))
