@@ -124,11 +124,19 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _with_tta(cfg, args):
+    """predict/calibrate follow the reference CLI (hflip TTA ON,
+    ``…stage.py:336-338``) unless --no-tta; the container path keeps the
+    reference ROI behavior (no TTA) via the PredictConfig default."""
+    return dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, tta_hflip=not args.no_tta))
+
+
 def cmd_calibrate(args) -> int:
     from .config import CalibrateConfig
     from .infer.calibrate import calibrate
 
-    cfg = _base_config(args)
+    cfg = _with_tta(_base_config(args), args)
     cfg = dataclasses.replace(cfg, calibrate=CalibrateConfig(with_ci=args.ci))
     variables = load_variables(Path(args.weights), cfg,
                                cfg.preprocess.img_size)
@@ -139,7 +147,7 @@ def cmd_calibrate(args) -> int:
 def cmd_predict(args) -> int:
     from .infer.predict_cli import predict_directory
 
-    cfg = _base_config(args)
+    cfg = _with_tta(_base_config(args), args)
     variables = load_variables(Path(args.weights), cfg,
                                cfg.preprocess.img_size)
     predict_directory(cfg, variables, Path(args.input_dir), Path(args.out_dir),
@@ -295,6 +303,9 @@ def get_parser() -> argparse.ArgumentParser:
     ca.add_argument("--val_dir", required=True)
     ca.add_argument("--output_dir", default="./checkpoints")
     ca.add_argument("--ci", action="store_true")
+    ca.add_argument("--no-tta", action="store_true",
+                    help="disable hflip TTA (the reference calibrate "
+                         "used TTA)")
     model_flags(ca)
     ca.set_defaults(fn=cmd_calibrate)
 
@@ -306,6 +317,9 @@ def get_parser() -> argparse.ArgumentParser:
     pr.add_argument("--thr", type=float)
     pr.add_argument("--slice_metrics", action="store_true")
     pr.add_argument("--topk_viz", action="store_true")
+    pr.add_argument("--no-tta", action="store_true",
+                    help="disable hflip TTA (the reference predict CLI "
+                         "used TTA, 2x faster without)")
     model_flags(pr)
     pr.set_defaults(fn=cmd_predict)
 

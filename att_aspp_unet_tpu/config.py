@@ -160,7 +160,11 @@ class PredictConfig:
     """
 
     threshold: float = 0.48
-    tta_hflip: bool = True
+    # deployment default is NO TTA, matching the reference's container/ROI
+    # path (model_attention_aspp.py:41-65 runs a single forward); the
+    # standalone predict CLI (…stage.py:336-338) used hflip TTA — pass
+    # tta_hflip=True there explicitly.  TTA doubles forward cost.
+    tta_hflip: bool = False
     gaussian_kernel: int = 5
     topk_frames: int = 5
     # extra raw-area candidates refined beyond topk in predict_case, so
@@ -169,11 +173,12 @@ class PredictConfig:
     min_area_px: int = 20
     min_area_frac: float = 0.0015
     close_kernel: int = 7
-    frame_batch: int = 32            # frames per forward micro-batch.  b16
-                                     # wins forward-only (294 vs 269 f/s,
-                                     # probe r3) but LOSES 0.39 s/sweep in
-                                     # the full fused pipeline (probe r10c:
-                                     # 1.01 s vs 0.62 s) — keep 32.
+    frame_batch: int = 16            # frames per forward micro-batch: b16
+                                     # beats b32 in the full no-TTA pipeline
+                                     # (0.619 vs 0.671 s/sweep, probe r10c;
+                                     # smaller activations fit VMEM better
+                                     # and 140 pads to 144 not 160).  The
+                                     # reference looped batches of 8.
     # packed BN-folded forward with fused Pallas conv pairs
     # (infer/fast_forward.py): "auto" = on for single-device TPU runs,
     # off elsewhere; True/False force it.  Default off until the fused

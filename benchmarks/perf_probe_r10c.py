@@ -29,6 +29,12 @@ def med(f, iters=5):
 
 
 def main() -> int:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--tta", action="store_true")
+    args = ap.parse_args()
+
     from att_aspp_unet_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -48,7 +54,7 @@ def main() -> int:
     print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
 
     N, H, W = 140, 562, 744
-    cfg = Config(predict=PredictConfig(frame_batch=16))
+    cfg = Config(predict=PredictConfig(frame_batch=args.batch, tta_hflip=args.tta))
     model = AttentionASPPUNet.from_config(cfg.model)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 512, 512, 1), jnp.float32),
@@ -95,7 +101,7 @@ def main() -> int:
     print(f"post_only    run={t_post:.4f}s", flush=True)
 
     case = lambda: _predict_case_impl(
-        engine._apply, engine.variables, sweep, jnp.int32(N), p.img_size,
+        engine._apply, engine.variables, sweep, N, p.img_size,
         p.clahe_clip, p.clahe_grid, p.median_kernel, pc.frame_batch,
         pc.tta_hflip, pc.gaussian_kernel, thr, 8, pc.min_area_px,
         pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))
