@@ -48,12 +48,14 @@ def gaussian_importance_map(tile_hw: Tuple[int, int],
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "tile_hw", "step_frac",
-                                             "use_gaussian", "use_mirroring"))
+                                             "use_gaussian", "use_mirroring",
+                                             "tile_batch"))
 def sliding_window_predict(apply_fn: Callable, variables, frames: jax.Array,
                            tile_hw: Tuple[int, int] = (448, 576),
                            step_frac: float = 0.5,
                            use_gaussian: bool = True,
-                           use_mirroring: bool = True) -> jax.Array:
+                           use_mirroring: bool = True,
+                           tile_batch: int = 8) -> jax.Array:
     """Tiled prediction over a stack of frames.
 
     apply_fn(variables, x_nhwc) must return logits (B, h, w, C).
@@ -84,12 +86,25 @@ def sliding_window_predict(apply_fn: Callable, variables, frames: jax.Array,
             out = out[0]
         return out.astype(jnp.float32)
 
-    logits = forward(batch)
-    if use_mirroring:
-        logits = logits + jnp.flip(forward(jnp.flip(batch, axis=2)), axis=2)
-        logits = logits + jnp.flip(forward(jnp.flip(batch, axis=1)), axis=1)
-        logits = logits + jnp.flip(forward(jnp.flip(batch, axis=(1, 2))), axis=(1, 2))
-        logits = logits / 4.0
+    def forward_tta(x):
+        l = forward(x)
+        if use_mirroring:
+            l = l + jnp.flip(forward(jnp.flip(x, axis=2)), axis=2)
+            l = l + jnp.flip(forward(jnp.flip(x, axis=1)), axis=1)
+            l = l + jnp.flip(forward(jnp.flip(x, axis=(1, 2))), axis=(1, 2))
+            l = l / 4.0
+        return l
+
+    # micro-batch the tile forward: a whole sweep's N·T tiles at the 448×576
+    # patch through a 7-stage net at once overflows HBM (measured 16.4 GB on
+    # a 32-frame sweep); lax.map bounds activation memory to `tile_batch`
+    # tiles while keeping ONE compiled program.
+    NT = batch.shape[0]
+    pad_t = (-NT) % tile_batch
+    bp = jnp.pad(batch, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
+    chunks = bp.reshape((NT + pad_t) // tile_batch, tile_batch, th, tw, 1)
+    logits = jax.lax.map(forward_tta, chunks)
+    logits = logits.reshape(NT + pad_t, th, tw, -1)[:NT]
 
     C = logits.shape[-1]
     w = jnp.asarray(gaussian_importance_map((th, tw))) if use_gaussian else \

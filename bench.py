@@ -44,10 +44,16 @@ def main() -> int:
     ap.add_argument("--train", action="store_true",
                     help="bench the data-parallel train step instead "
                          "(BASELINE config 5)")
+    ap.add_argument("--baseline", action="store_true",
+                    help="bench the nnU-Net baseline path instead: "
+                         "sliding-window Gaussian tiles + mirror TTA at "
+                         "the plans.json patch size")
     args = ap.parse_args()
 
     if args.train:
         return _bench_train(args)
+    if args.baseline:
+        return _bench_baseline(args)
 
     import numpy as np
     import jax
@@ -149,6 +155,59 @@ def main() -> int:
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 500.0, 3),
+    }))
+    return 0
+
+
+def _bench_baseline(args) -> int:
+    """nnU-Net-equivalent path: preprocess → sliding-window tiled forward
+    (448×576 patch, 50 % overlap, Gaussian weighting, mirror TTA) →
+    softmax postprocess (thr 0.5, per-class largest 3-D CC), one program.
+    The reference runs this through nnunetv2's predictor (model.py:35-89)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from att_aspp_unet_tpu.config import Config
+    from att_aspp_unet_tpu.infer.engine import BaselineEngine
+    from att_aspp_unet_tpu.models import PlainConvUNet
+
+    print(f"[bench] backend={jax.default_backend()}", file=sys.stderr)
+    cfg = Config()
+    model = PlainConvUNet.from_config(cfg.plain_unet)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.plain_unet.patch_size[0],
+                   cfg.plain_unet.patch_size[1], 1), jnp.float32),
+        train=False)
+    engine = BaselineEngine(cfg, variables)
+    rng = np.random.default_rng(0)
+    sweep = jax.device_put((rng.random(
+        (args.frames, args.height, args.width)) * 255).astype(np.uint8))
+    sweep.block_until_ready()
+
+    run = lambda: float(jnp.sum(
+        engine.postprocess(engine.predict(sweep)).astype(jnp.int32)))
+    t0 = time.time()
+    run()
+    print(f"[bench] compile+first run {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = sorted(times)[len(times) // 2]
+    fps = args.frames / best
+    print(f"[bench] times={['%.3f' % t for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "baseline_sliding_window_frames_per_sec_native",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 500.0, 4),
     }))
     return 0
 

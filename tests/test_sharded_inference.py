@@ -100,3 +100,27 @@ def test_sharded_baseline_matches_unsharded(rng):
 
     assert got.shape == ref.shape == (pu.num_classes, 11, 40, 48)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_predict_case_matches_unsharded(setup, rng):
+    """The honest e2e path (threshold → top-M → refine → bit-packed pull →
+    exact select → AC) under the 8-device mesh must agree with the
+    single-device result, including the frame choice and the AC value."""
+    cfg, variables = setup
+    sweep = (rng.random((11, 24, 28)) * 255).astype(np.uint8)
+
+    single = AttAsppEngine(cfg, variables)
+    probs = np.asarray(single.predict_full(sweep))
+    thr = float(np.quantile(probs, 0.97))
+    f_ref, m_ref, ac_ref = single.predict_case(sweep, (0.28, 0.28),
+                                               threshold=thr)
+
+    mesh = make_mesh(MeshConfig())
+    sharded = AttAsppEngine(cfg, variables, mesh=mesh)
+    f_got, m_got, ac_got = sharded.predict_case(sweep, (0.28, 0.28),
+                                                threshold=thr)
+
+    assert f_got == f_ref
+    np.testing.assert_array_equal(m_got, m_ref)
+    np.testing.assert_allclose(ac_got, ac_ref, rtol=1e-5, atol=1e-5,
+                               equal_nan=True)
