@@ -87,6 +87,9 @@ class PlainUNetConfig:
     tile_step: float = 0.5
     use_gaussian: bool = True
     use_mirroring: bool = True
+    tile_batch: int = 8              # patch tiles per forward micro-batch
+                                     # (bounds activation HBM; a full sweep's
+                                     # tiles at once needs >16 GB)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 

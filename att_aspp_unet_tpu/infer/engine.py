@@ -381,7 +381,8 @@ class BaselineEngine:
                              p.clahe_grid, p.median_kernel)
         probs = sliding_window_predict(self._apply, self.variables, x,
                                        tuple(pu.patch_size), pu.tile_step,
-                                       pu.use_gaussian, pu.use_mirroring)
+                                       pu.use_gaussian, pu.use_mirroring,
+                                       getattr(pu, "tile_batch", 8))
         if pad:
             probs = probs[: probs.shape[0] - pad]
         return jnp.transpose(probs, (1, 0, 2, 3))       # (N,C,H,W)→(C,N,H,W)

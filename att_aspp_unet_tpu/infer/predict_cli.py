@@ -91,8 +91,27 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
     out_dir.mkdir(parents=True, exist_ok=True)
     rows: List[Tuple[str, int, float]] = []
 
+    # one sweep stays in flight across consecutive .mha cases: the next
+    # case's device work is dispatched before this case's host tail
+    # (mask pull + exact select + AC + file writes) runs
+    pending = None            # (stem, img, handle, (sx, sy))
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        stem, img, handle, sp = pending
+        pending = None
+        best, best_mask, ac = engine.predict_case_collect(handle, sp)
+        ac = round(ac, 1)
+        write_output_mha_and_json(out_dir, stem, best_mask, best, img)
+        rows.append((stem, int(best), ac))
+        log(f"{stem}: best_frame={best}, AC={ac:.1f} mm")
+
     for p in sorted(Path(input_dir).iterdir()):
         ext = p.suffix.lower()
+        if not (ext == ".mha" and not (slice_metrics or topk_viz)):
+            flush_pending()
         if ext in {".png", ".jpg", ".jpeg"}:
             sl = read_gray_png(p)
             probs = engine.predict_full(sl[None])
@@ -113,13 +132,11 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
             vol = img.array
             sx, sy = float(img.spacing[0]), float(img.spacing[1])
             if not (slice_metrics or topk_viz):
-                # fast path: refine only the top candidates (predict_case)
-                best, best_mask, ac = engine.predict_case(vol, (sx, sy), thr)
-                ac = round(ac, 1)
-                write_output_mha_and_json(out_dir, p.stem, best_mask, best,
-                                          img)
-                rows.append((p.stem, int(best), ac))
-                log(f"{p.stem}: best_frame={best}, AC={ac:.1f} mm")
+                # fast path: refine only the top candidates (predict_case),
+                # pipelined one case ahead
+                handle = engine.predict_case_submit(vol, thr)
+                flush_pending()
+                pending = (p.stem, img, handle, (sx, sy))
                 continue
 
             # diagnostics need every refined frame — reference-shaped path
@@ -151,6 +168,7 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
                                      topk_idx, best, ac,
                                      out_dir / f"{p.stem}_topk.png")
 
+    flush_pending()
     if rows:
         csv_path = out_dir / "ac_results.csv"
         with open(csv_path, "w", newline="") as f:

@@ -44,6 +44,8 @@ def main() -> int:
     ap.add_argument("--train", action="store_true",
                     help="bench the data-parallel train step instead "
                          "(BASELINE config 5)")
+    ap.add_argument("--tile-batch", type=int, default=8,
+                    help="baseline path: patch tiles per micro-batch")
     ap.add_argument("--baseline", action="store_true",
                     help="bench the nnU-Net baseline path instead: "
                          "sliding-window Gaussian tiles + mirror TTA at "
@@ -176,7 +178,10 @@ def _bench_baseline(args) -> int:
     from att_aspp_unet_tpu.models import PlainConvUNet
 
     print(f"[bench] backend={jax.default_backend()}", file=sys.stderr)
+    import dataclasses
     cfg = Config()
+    cfg = dataclasses.replace(cfg, plain_unet=dataclasses.replace(
+        cfg.plain_unet, tile_batch=args.tile_batch))
     model = PlainConvUNet.from_config(cfg.plain_unet)
     variables = model.init(
         jax.random.PRNGKey(0),
