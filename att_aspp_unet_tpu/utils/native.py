@@ -67,6 +67,18 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ho_trace_contour.restype = ctypes.c_int
     lib.ho_trace_contour.argtypes = [u8p, ctypes.c_int, ctypes.c_int, i32p,
                                      ctypes.c_int]
+    cs = ctypes.c_char_p
+    dbl = ctypes.c_double
+    dblp = ctypes.POINTER(ctypes.c_double)
+    lib.ho_write_mha_u8.restype = ctypes.c_int
+    lib.ho_write_mha_u8.argtypes = [cs, u8p, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, dbl, dbl, dbl, dbl, dbl,
+                                    dbl, ctypes.c_int]
+    lib.ho_read_mha_dims_u8.restype = ctypes.c_int
+    lib.ho_read_mha_dims_u8.argtypes = [cs, i32p, i32p, i32p, dblp, dblp,
+                                        dblp]
+    lib.ho_read_mha_u8.restype = ctypes.c_int
+    lib.ho_read_mha_u8.argtypes = [cs, u8p, ll]
     _lib = lib
     return _lib
 
@@ -179,3 +191,44 @@ def trace_contour(mask: np.ndarray) -> Optional[np.ndarray]:
                              buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                              max_pts)
     return buf[: 2 * n].reshape(n, 2).copy()
+
+
+def write_mha_u8(path, vol: np.ndarray, spacing=(1.0, 1.0, 1.0),
+                 offset=(0.0, 0.0, 0.0), compressed: bool = True) -> bool:
+    """Independent C++ MetaIO writer (``native/metaio_writer.cpp``) — the
+    cross-implementation partner of ``io.mha.write_mha``.  ``vol`` is
+    (z, y, x) uint8; spacing/offset are (x, y, z) like the Python codec."""
+    lib = load()
+    if lib is None:
+        return False
+    vol = _u8(vol)
+    nz, ny, nx = vol.shape
+    rc = lib.ho_write_mha_u8(
+        str(path).encode(), vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nx, ny, nz, float(spacing[0]), float(spacing[1]), float(spacing[2]),
+        float(offset[0]), float(offset[1]), float(offset[2]),
+        1 if compressed else 0)
+    return rc == 0
+
+
+def read_mha_u8(path):
+    """Independent C++ MetaIO reader: returns ((z, y, x) uint8 array,
+    (x, y, z) spacing) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    nx = ctypes.c_int32(); ny = ctypes.c_int32(); nz = ctypes.c_int32()
+    sx = ctypes.c_double(); sy = ctypes.c_double(); sz = ctypes.c_double()
+    rc = lib.ho_read_mha_dims_u8(str(path).encode(),
+                                 ctypes.byref(nx), ctypes.byref(ny),
+                                 ctypes.byref(nz), ctypes.byref(sx),
+                                 ctypes.byref(sy), ctypes.byref(sz))
+    if rc != 0:
+        return None
+    out = np.empty((nz.value, ny.value, nx.value), np.uint8)
+    rc = lib.ho_read_mha_u8(str(path).encode(),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                            out.size)
+    if rc != 0:
+        return None
+    return out, (sx.value, sy.value, sz.value)
