@@ -92,12 +92,19 @@ def run(cfg: Config, variables: dict, case_id: Optional[str] = None,
 
     if ccfg.model_tag == "att_aspp":
         engine = AttAsppEngine(cfg, variables)
-        probs = np.asarray(engine.predict_roi(sweep))
+        # the probability stack, postprocess, and frame select all stay on
+        # device; only the selected mask (and, when dumping, the prob
+        # stack) crosses back to the host — pulling the full stack both
+        # ways cost several seconds per case through the axon tunnel
+        probs = engine.predict_roi(sweep)
         if save_probabilities:
+            # reference parity: CWD-relative output/probabilities/*.npy
+            # (``model_attention_aspp.py:62-64``)
             prob_dir = Path("output/probabilities")
             prob_dir.mkdir(parents=True, exist_ok=True)
-            np.save(prob_dir / f"{sweep_path.stem}_prob.npy", probs)
-        masks = np.asarray(engine.postprocess_roi(probs))
+            np.save(prob_dir / f"{sweep_path.stem}_prob.npy",
+                    np.asarray(probs))
+        masks = engine.postprocess_roi(probs)
         mask2d, sub_frame = select_mask_and_frame(masks)
         # map the subsampled index back to the original frame axis
         if sub_frame >= 0:

@@ -21,7 +21,7 @@ are independent, so sweep inference is pure data parallelism over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -32,8 +32,7 @@ from ..measure import measure_ac_mm
 from ..models import AttentionASPPUNet, PlainConvUNet, sliding_window_predict
 from ..ops.image import gaussian_blur, resize_bilinear, resize_nearest
 from ..postprocess import (postprocess_roi_stack, postprocess_softmax_stack,
-                           refine_mask, refine_mask_bucketed,
-                           select_best_frame, select_best_frame_exact,
+                           refine_mask, select_best_frame_exact,
                            select_max_area_frame)
 from ..preprocess import crop_roi, enhance_frames, paste_roi_probs
 from ..preprocess.enhance import preprocess_sweep
@@ -97,7 +96,7 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "n_valid", "img_size", "clahe_clip", "clahe_grid",
+    "apply_fn", "img_size", "clahe_clip", "clahe_grid",
     "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_cand",
     "min_area_px", "min_area_frac", "close_kernel", "bucket_hw"))
 def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
@@ -117,18 +116,27 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
                                tta, gauss_k)
     binary = (probs > threshold).astype(jnp.uint8)
     n = binary.shape[0]
-    areas = binary.sum(axis=(-2, -1), dtype=jnp.int32)
+    # Candidate rank key ≈ the area each frame would have AFTER refinement:
+    # the reference refines EVERY frame and selects top-k by refined area
+    # (``…stage.py:490-503``); raw thresholded area can underestimate it
+    # without bound when hole filling would add a ring's interior (an
+    # abdomen rim with unsegmented inside).  Proxy: 4×4 max-pool (keeps
+    # rims ≥1 px thick connected) → hole fill at quarter resolution → area.
+    # Downward refinement moves (speck removal, largest-CC-only) stay
+    # bounded and are absorbed by ``refine_margin``.
+    from ..postprocess.morphology import fill_holes
+
+    pooled = jax.lax.reduce_window(binary, np.uint8(0), jax.lax.max,
+                                   (1, 4, 4), (1, 4, 4), "SAME")
+    areas = fill_holes(pooled).sum(axis=(-2, -1), dtype=jnp.int32)
     # reference candidate order = np.argsort(areas)[::-1]: descending area,
-    # higher frame index first on ties.  Composite key area·K + idx (K =
-    # next pow2 ≥ n) realises exactly that in one device sort; the key fits
-    # int32 for any sweep (area ≤ H·W < 2²⁰, idx < K ≤ 1024).
-    k_pow = 1 << max(1, (n - 1).bit_length())
+    # higher frame index first on ties — lexsort primary -areas, secondary
+    # -idx (overflow-free for any frame size, unlike a composite int key).
     idx = jnp.arange(n, dtype=jnp.int32)
-    key = areas * jnp.int32(k_pow) + idx
     # mesh staging may have appended all-background pad frames; rank them
     # strictly below every real frame (a padded index must never win)
-    key = jnp.where(idx < n_valid, key, -1)
-    order = jnp.argsort(-key)
+    areas = jnp.where(idx < n_valid, areas, -1)
+    order = jnp.lexsort((-idx, -areas))
     cand_idx = order[:n_cand]
     cand = binary[cand_idx]
     H, W = binary.shape[-2], binary.shape[-1]
@@ -208,6 +216,7 @@ class AttAsppEngine:
             self.variables = jax.device_put(self.variables, replicate(mesh))
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
+        self._nval_cache: Dict[int, jax.Array] = {}
         self._maybe_enable_fast_forward()
 
     def _maybe_enable_fast_forward(self):
@@ -280,11 +289,13 @@ class AttAsppEngine:
         The reference refined every frame before selecting
         (``…stage.py:490-503``); since selection only ever looks at the
         ``topk`` largest candidates, this refines just the top
-        ``topk + refine_margin`` frames by raw thresholded area — identical
-        choice in practice (refinement keeps the largest component, so a
-        high-raw-area frame built of specks drops out of the candidate set,
-        which the margin absorbs) at a small fraction of the refine cost.
-        Selection within the candidates is the exact cv2-parity re-rank.
+        ``topk + refine_margin`` frames, ranked by a hole-filled area proxy
+        (quarter-resolution max-pool + fill — see ``_predict_case_impl``)
+        so ring-shaped masks whose interior refinement would fill rank
+        where their refined area puts them; downward refinement moves
+        (speck removal, largest-CC) are bounded and absorbed by the margin.
+        Selection within the candidates is the exact cv2-parity re-rank on
+        the fully refined masks.
         """
         return self.predict_case_collect(self.predict_case_submit(
             sweep, threshold), spacing)
@@ -307,8 +318,15 @@ class AttAsppEngine:
         m = max(1, min(pc.topk_frames + pc.refine_margin, n))
 
         staged, pad = self._stage_frames(sweep)
+        # n_valid is a TRACED operand (one compile per padded shape bucket,
+        # not per frame count) staged once per distinct n so repeat calls
+        # don't pay a scalar upload through the tunnel
+        nv = self._nval_cache.get(n)
+        if nv is None:
+            nv = self._nval_cache.setdefault(
+                n, jax.device_put(np.int32(n)))
         cand_idx, refined = _predict_case_impl(
-            self._apply, self.variables, staged, n, p.img_size,
+            self._apply, self.variables, staged, nv, p.img_size,
             p.clahe_clip, p.clahe_grid, p.median_kernel, pc.frame_batch,
             pc.tta_hflip, pc.gaussian_kernel, float(thr), m, pc.min_area_px,
             pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))

@@ -37,6 +37,7 @@ _BF = jnp.bfloat16
 def supports(model) -> bool:
     """True if the packed fast path reproduces this model config."""
     return (model.gate_variant == "v1" and model.use_aspp
+            and len(tuple(model.aspp_rates)) == 3
             and model.in_channels >= 1 and not model.remat)
 
 
@@ -198,10 +199,10 @@ def _gate_v1(att, g, x):
     return (x * a).astype(_BF)
 
 
-def _aspp(plan, x):
+def _aspp(plan, x, rates):
     br = plan["bridge"]
     feats = [_pw(x, br["b0"]["w"], br["b0"]["sb"], relu=True)]
-    for i, rate in enumerate((6, 12, 18)):
+    for i, rate in enumerate(rates):
         feats.append(_conv3x3_taps(x, br["rates"][i]["k"],
                                    br["rates"][i]["sb"], rate=rate))
     m = jnp.mean(x.astype(jnp.float32), axis=(2, 3), keepdims=True)
@@ -224,6 +225,7 @@ def make_fast_apply(model, *, interpret: bool = False) -> Callable:
     if not supports(model):
         raise ValueError("unsupported config for the packed fast path")
     gated = {lvl: model._gated(lvl) for lvl in (1, 2, 3, 4)}
+    rates = tuple(model.aspp_rates)
 
     @functools.partial(jax.jit, static_argnums=())
     def apply_fn(plan, x):
@@ -238,7 +240,7 @@ def make_fast_apply(model, *, interpret: bool = False) -> Callable:
         x2 = pair(_maxpool2(x1), "d2")
         x3 = pair(_maxpool2(x2), "d3")
         x4 = pair(_maxpool2(x3), "d4")
-        b = _aspp(plan, _maxpool2(x4))
+        b = _aspp(plan, _maxpool2(x4), rates)
 
         def up(lvl, g, skip):
             blk = plan[f"u{lvl}"]

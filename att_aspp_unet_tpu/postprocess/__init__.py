@@ -22,7 +22,6 @@ from .refine import (get_binary_masks, get_positive_frames,  # noqa: F401
                      refine_mask, refine_mask_bucketed)
 from .select import (  # noqa: F401
     select_best_frame_exact,
-    topk_area_frames,
     boundary_mask,
     circularity,
     perimeter_estimate,

@@ -86,17 +86,6 @@ def select_best_frame(mask_stack: jax.Array, topk: int = 5) -> jax.Array:
     return top_idx[jnp.argmax(circ)].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("topk",))
-def topk_area_frames(mask_stack: jax.Array, topk: int = 5):
-    """(indices, masks) of the ``topk`` largest-area frames — the device half
-    of the exact selector: reduce + gather on device, so only K small masks
-    ever cross to the host."""
-    areas = (mask_stack > 0).sum(axis=(-2, -1)).astype(jnp.int32)
-    k = max(1, min(topk, mask_stack.shape[0]))
-    _, top_idx = jax.lax.top_k(areas, k)
-    return top_idx, mask_stack[top_idx]
-
-
 def select_best_frame_exact(mask_stack, topk: int = 5) -> int:
     """Reference-parity frame selection (``select_best``,
     ``…stage.py:350-353`` / ``test_ablation.py:398-403``): top-``topk`` by

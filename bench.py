@@ -24,7 +24,8 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=140)      # one sweep
+    ap.add_argument("--frames", type=int, default=None)     # one sweep
+                                                        # (140; --roi: 840)
     ap.add_argument("--height", type=int, default=562)
     ap.add_argument("--width", type=int, default=744)
     ap.add_argument("--img-size", type=int, default=512)
@@ -50,12 +51,23 @@ def main() -> int:
                     help="bench the nnU-Net baseline path instead: "
                          "sliding-window Gaussian tiles + mirror TTA at "
                          "the plans.json patch size")
+    ap.add_argument("--roi", action="store_true",
+                    help="bench the container deployment (ROI) path: "
+                         "128-frame linspace subsample, 224-square "
+                         "centroid crop, forward, paste-back, "
+                         "postprocess, frame select")
     args = ap.parse_args()
+    # per-mode default: one 140-frame sweep, or one full 840-frame case for
+    # the ROI container path
+    if args.frames is None:
+        args.frames = 840 if args.roi else 140
 
     if args.train:
         return _bench_train(args)
     if args.baseline:
         return _bench_baseline(args)
+    if args.roi:
+        return _bench_roi(args)
 
     import numpy as np
     import jax
@@ -157,6 +169,63 @@ def main() -> int:
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 500.0, 3),
+    }))
+    return 0
+
+
+def _bench_roi(args) -> int:
+    """Container deployment path (reference `model_attention_aspp.py:41-97`):
+    linspace subsample to 128 frames → intensity-centroid 224² ROI crop →
+    batched forward → sigmoid paste-back → thr 0.05 → max-area frame →
+    dilate → largest CC → frame select.  Input: one full 840-frame case."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from att_aspp_unet_tpu.config import Config, ModelConfig
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine, \
+        select_mask_and_frame
+    from att_aspp_unet_tpu.models import AttentionASPPUNet
+
+    print(f"[bench] backend={jax.default_backend()}", file=sys.stderr)
+    cfg = Config(model=ModelConfig(base_c=args.base_c))
+    model = AttentionASPPUNet.from_config(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.predict.roi_size, cfg.predict.roi_size, 1),
+                  jnp.float32), train=False)
+    engine = AttAsppEngine(cfg, variables)
+    rng = np.random.default_rng(0)
+    case = (rng.random((args.frames, args.height, args.width))
+            * 255).astype(np.uint8)
+
+    def run():
+        # probs/masks/select stay on device; only the selected frame's mask
+        # crosses back (the container flow, infer/container.py)
+        probs = engine.predict_roi(case)
+        masks = engine.postprocess_roi(probs)
+        _, frame = select_mask_and_frame(masks)
+        return frame
+
+    t0 = time.time()
+    run()
+    print(f"[bench] compile+first run {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = sorted(times)[len(times) // 2]
+    print(f"[bench] times={['%.3f' % t for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "roi_container_cases_per_sec",
+        "value": round(1.0 / best, 2),
+        "unit": "cases/sec/chip",
+        "vs_baseline": round((1.0 / best) / 1.0, 3),
     }))
     return 0
 
