@@ -95,6 +95,25 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
     return gaussian_blur(native, gauss_k, 0.0)
 
 
+def candidate_rank_areas(binary: jax.Array) -> jax.Array:
+    """(N, H, W) 0/1 → (N,) rank key ≈ the area each frame would have AFTER
+    refinement.
+
+    The reference refines EVERY frame and selects top-k by refined area
+    (``…stage.py:490-503``); raw thresholded area can underestimate it
+    without bound when hole filling would add a ring's interior (an abdomen
+    rim with unsegmented inside).  Proxy: 4×4 max-pool (keeps rims ≥1 px
+    thick connected) → hole fill at quarter resolution → area.  Downward
+    refinement moves (speck removal, largest-CC-only) stay bounded and are
+    absorbed by ``PredictConfig.refine_margin``.
+    """
+    from ..postprocess.morphology import fill_holes
+
+    pooled = jax.lax.reduce_window(binary, np.uint8(0), jax.lax.max,
+                                   (1, 4, 4), (1, 4, 4), "SAME")
+    return fill_holes(pooled).sum(axis=(-2, -1), dtype=jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "apply_fn", "img_size", "clahe_clip", "clahe_grid",
     "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_cand",
@@ -116,19 +135,7 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
                                tta, gauss_k)
     binary = (probs > threshold).astype(jnp.uint8)
     n = binary.shape[0]
-    # Candidate rank key ≈ the area each frame would have AFTER refinement:
-    # the reference refines EVERY frame and selects top-k by refined area
-    # (``…stage.py:490-503``); raw thresholded area can underestimate it
-    # without bound when hole filling would add a ring's interior (an
-    # abdomen rim with unsegmented inside).  Proxy: 4×4 max-pool (keeps
-    # rims ≥1 px thick connected) → hole fill at quarter resolution → area.
-    # Downward refinement moves (speck removal, largest-CC-only) stay
-    # bounded and are absorbed by ``refine_margin``.
-    from ..postprocess.morphology import fill_holes
-
-    pooled = jax.lax.reduce_window(binary, np.uint8(0), jax.lax.max,
-                                   (1, 4, 4), (1, 4, 4), "SAME")
-    areas = fill_holes(pooled).sum(axis=(-2, -1), dtype=jnp.int32)
+    areas = candidate_rank_areas(binary)
     # reference candidate order = np.argsort(areas)[::-1]: descending area,
     # higher frame index first on ties — lexsort primary -areas, secondary
     # -idx (overflow-free for any frame size, unlike a composite int key).

@@ -287,3 +287,26 @@ def test_predict_case_empty_sweep(tiny_att):
     sweep = np.zeros((6, 40, 48), np.uint8)
     frame, mask, ac = eng.predict_case(sweep, (0.28, 0.28), threshold=0.99)
     assert 0 <= frame < 6 and mask.sum() == 0 and ac == 0.0
+
+
+def test_candidate_rank_counts_ring_interiors():
+    """The candidate cut must rank a thin ring by its FILLED area (the
+    reference selects top-k by refined — hole-filled — area): a 2-px
+    abdomen-rim annulus with a large interior must out-rank a solid blob
+    that beats it on raw thresholded area."""
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.infer.engine import candidate_rank_areas
+
+    H = W = 120
+    yy, xx = np.mgrid[:H, :W]
+    r2 = (yy - 60) ** 2 + (xx - 60) ** 2
+    ring = ((r2 <= 40 ** 2) & (r2 >= 38 ** 2)).astype(np.uint8)
+    disk = (r2 <= 20 ** 2).astype(np.uint8)
+    assert ring.sum() < disk.sum()          # raw area: disk wins
+
+    areas = np.asarray(candidate_rank_areas(jnp.asarray(
+        np.stack([ring, disk]))))
+    assert areas[0] > areas[1]              # filled area: ring wins
+    # quarter-res proxy ≈ true filled area (π·40² vs π·20²)
+    assert areas[0] * 16 > 0.8 * np.pi * 40 ** 2
