@@ -124,3 +124,18 @@ def test_sharded_predict_case_matches_unsharded(setup, rng):
     np.testing.assert_array_equal(m_got, m_ref)
     np.testing.assert_allclose(ac_got, ac_ref, rtol=1e-5, atol=1e-5,
                                equal_nan=True)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_predict_full_small_meshes(setup, rng, n_dev):
+    """Mesh sizes other than the full 8 (a 2-chip or 4-chip deployment)
+    must produce identical results, including ragged frame counts."""
+    cfg, variables = setup
+    sweep = (rng.random((9, 24, 28)) * 255).astype(np.uint8)
+    ref = np.asarray(AttAsppEngine(cfg, variables).predict_full(sweep))
+
+    mesh = make_mesh(MeshConfig(), jax.devices()[:n_dev])
+    assert mesh.shape["data"] == n_dev
+    got = np.asarray(AttAsppEngine(cfg, variables, mesh=mesh)
+                     .predict_full(sweep))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
