@@ -4,28 +4,28 @@ Reference behavior (``…stage.py:376-396`` and the CI variant
 ``test_ablation.py:684-761``): sweep probability thresholds over the val set,
 pick the argmax of mean Dice, write ``thr.json``.
 
-Design fix over the reference (SURVEY.md §7 "quirks to NOT replicate"): the
-reference re-ran every TTA forward pass for each of the 17 thresholds
-(17 × n_val inferences); here probabilities are computed ONCE per image and
-the entire threshold sweep is a single vectorised device reduction —
-a 17× inference saving by construction.
+Design fixes over the reference (SURVEY.md §7 "quirks to NOT replicate"): the
+reference re-ran every TTA forward pass for each of the 17 thresholds AND ran
+the val set one image at a time (``…stage.py:383-392``).  Here the val set is
+batched by native resolution into whole-set device programs — probabilities
+for every image in a resolution group come from ONE ``predict_full`` dispatch
+and the full (n_images × n_thresholds) Dice surface from ONE vmapped
+reduction, so the dispatch count is 2 per distinct resolution (normally 2
+total), independent of n_val and n_thresholds.  The old per-image loop paid
+~5 tunnel round-trips (~0.25 s) per image.
 """
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
-from typing import Callable, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import CalibrateConfig, Config
+from ..config import Config
 from ..io import read_gray_png, write_json
-from ..ops.image import gaussian_blur, resize_bilinear
-from ..preprocess.enhance import preprocess_sweep
-from .engine import AttAsppEngine, forward_probs_tta
 
 
 @jax.jit
@@ -38,13 +38,28 @@ def dice_curve(probs: jax.Array, gt: jax.Array, thresholds: jax.Array
     return 2.0 * inter / (jnp.sum(m, axis=(1, 2)) + jnp.sum(g) + 1e-7)
 
 
+@jax.jit
+def dice_curves(probs: jax.Array, gts: jax.Array, thresholds: jax.Array
+                ) -> jax.Array:
+    """(n, H, W) probabilities × (n, H, W) GT → (n, n_thr) Dice surface."""
+    return jax.vmap(lambda p, g: dice_curve(p, g, thresholds))(probs, gts)
+
+
 def calibrate(cfg: Config, variables: dict, val_dir: Path, output_dir: Path,
               log=print) -> dict:
     """Scan thresholds over ``<val_dir>/images/*.png`` vs ``<val_dir>/masks``;
-    write ``<output_dir>/thr.json``.  Returns the result dict."""
+    write ``<output_dir>/thr.json``.  Returns the result dict.
+
+    NOTE on TTA parity: the reference's calibrate ran hflip-TTA forwards
+    (``…stage.py:384-392``) but ``PredictConfig.tta_hflip`` defaults to
+    False (the deployment/ROI default).  The ``calibrate`` CLI subcommand
+    turns TTA on; direct library callers wanting reference-parity curves
+    must pass a config with ``predict.tta_hflip=True`` themselves.
+    """
+    from .engine import AttAsppEngine
+
     ccfg = cfg.calibrate
     engine = AttAsppEngine(cfg, variables)
-    p = cfg.preprocess
 
     val_dir = Path(val_dir)
     imgs = sorted((val_dir / "images").glob("*.png"))
@@ -53,20 +68,20 @@ def calibrate(cfg: Config, variables: dict, val_dir: Path, output_dir: Path,
 
     thrs = np.linspace(ccfg.thr_lo, ccfg.thr_hi, ccfg.thr_steps)
     thrs_j = jnp.asarray(thrs, jnp.float32)
-    per_image: List[np.ndarray] = []
 
-    for ip in imgs:
-        sl = read_gray_png(ip)
-        x = preprocess_sweep(jnp.asarray(sl)[None], p.img_size, p.clahe_clip,
-                             p.clahe_grid, p.median_kernel)
-        prob512 = forward_probs_tta(engine._apply, engine.variables,
-                                    x[..., None], cfg.predict.tta_hflip)
-        prob = resize_bilinear(prob512, sl.shape)[0]
-        prob = gaussian_blur(prob[None], cfg.predict.gaussian_kernel, 0.0)[0]
-        gt = read_gray_png(val_dir / "masks" / ip.name) > 127
-        per_image.append(np.asarray(dice_curve(prob, jnp.asarray(gt), thrs_j)))
+    # Load everything host-side, group by native resolution: each group is
+    # one batched predict_full program + one Dice-surface reduction.
+    frames = [read_gray_png(ip) for ip in imgs]
+    gts = [read_gray_png(val_dir / "masks" / ip.name) > 127 for ip in imgs]
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, f in enumerate(frames):
+        groups.setdefault(f.shape, []).append(i)
 
-    curves = np.stack(per_image)                       # (n_images, n_thr)
+    curves = np.empty((len(imgs), len(thrs)), np.float64)
+    for shape, idxs in groups.items():
+        probs = engine.predict_full(np.stack([frames[i] for i in idxs]))
+        gt_stack = jnp.asarray(np.stack([gts[i] for i in idxs]))
+        curves[idxs] = np.asarray(dice_curves(probs, gt_stack, thrs_j))
     means = curves.mean(axis=0)
     best_idx = int(np.argmax(means))
     best_thr = float(thrs[best_idx])

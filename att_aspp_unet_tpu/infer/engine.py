@@ -97,21 +97,30 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
 
 def candidate_rank_areas(binary: jax.Array) -> jax.Array:
     """(N, H, W) 0/1 → (N,) rank key ≈ the area each frame would have AFTER
-    refinement.
+    refinement, in raw-pixel units.
 
     The reference refines EVERY frame and selects top-k by refined area
     (``…stage.py:490-503``); raw thresholded area can underestimate it
     without bound when hole filling would add a ring's interior (an abdomen
-    rim with unsegmented inside).  Proxy: 4×4 max-pool (keeps rims ≥1 px
-    thick connected) → hole fill at quarter resolution → area.  Downward
-    refinement moves (speck removal, largest-CC-only) stay bounded and are
-    absorbed by ``PredictConfig.refine_margin``.
+    rim with unsegmented inside).  Key: raw area + 16 × the number of
+    quarter-resolution cells that hole-filling ADDS after a 4×4 max-pool
+    (the pool keeps rims ≥1 px thick connected across small gaps, like the
+    7×7 close).  Counting only the fill delta — not every pooled cell —
+    means scattered speckle ranks at its raw area instead of inflated 16×
+    (k isolated pixels occupy k cells but enclose nothing), so neither a
+    ring frame nor a speckle-heavy frame can push the reference's pick out
+    of the candidate set.  Downward refinement moves (speck removal,
+    largest-CC-only) stay bounded and are absorbed by
+    ``PredictConfig.refine_margin``.
     """
     from ..postprocess.morphology import fill_holes
 
     pooled = jax.lax.reduce_window(binary, np.uint8(0), jax.lax.max,
                                    (1, 4, 4), (1, 4, 4), "SAME")
-    return fill_holes(pooled).sum(axis=(-2, -1), dtype=jnp.int32)
+    raw = binary.sum(axis=(-2, -1), dtype=jnp.int32)
+    cells = pooled.sum(axis=(-2, -1), dtype=jnp.int32)
+    filled = fill_holes(pooled).sum(axis=(-2, -1), dtype=jnp.int32)
+    return raw + 16 * (filled - cells)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -407,7 +416,8 @@ class BaselineEngine:
         probs = sliding_window_predict(self._apply, self.variables, x,
                                        tuple(pu.patch_size), pu.tile_step,
                                        pu.use_gaussian, pu.use_mirroring,
-                                       getattr(pu, "tile_batch", 8))
+                                       getattr(pu, "tile_batch", 8),
+                                       getattr(pu, "mirror_batch", False))
         if pad:
             probs = probs[: probs.shape[0] - pad]
         return jnp.transpose(probs, (1, 0, 2, 3))       # (N,C,H,W)→(C,N,H,W)

@@ -111,15 +111,23 @@ def read_mha(path) -> MetaImage:
         raise ValueError(f"{path}: ObjectType {header.get('ObjectType')!r} unsupported")
     if header["ElementDataFile"].upper() != "LOCAL":
         raise ValueError(f"{path}: only ElementDataFile=LOCAL (.mha) is supported")
+    if "DimSize" not in header:
+        raise ValueError(f"{path}: header has no DimSize key")
 
-    ndims = int(header.get("NDims", "3"))
-    dim_size = tuple(int(v) for v in header["DimSize"].split())
+    try:
+        ndims = int(header.get("NDims", "3"))
+        dim_size = tuple(int(v) for v in header["DimSize"].split())
+    except ValueError as e:
+        raise ValueError(f"{path}: unparsable NDims/DimSize: {e}") from None
     if len(dim_size) != ndims:
         raise ValueError(f"{path}: DimSize {dim_size} does not match NDims {ndims}")
     met = header.get("ElementType", "MET_UCHAR")
-    if met not in _MET_TO_DTYPE:
+    # multi-channel files may spell the type MET_<T>_ARRAY (MetaIO's array
+    # form); the element layout is identical
+    met_base = met[: -len("_ARRAY")] if met.endswith("_ARRAY") else met
+    if met_base not in _MET_TO_DTYPE:
         raise ValueError(f"{path}: ElementType {met!r} unsupported")
-    dtype = np.dtype(_MET_TO_DTYPE[met])
+    dtype = np.dtype(_MET_TO_DTYPE[met_base])
     n_channels = int(header.get("ElementNumberOfChannels", "1"))
 
     byte_order_msb = header.get("BinaryDataByteOrderMSB", header.get("ElementByteOrderMSB", "False"))
@@ -128,25 +136,46 @@ def read_mha(path) -> MetaImage:
     n_elems = int(np.prod(dim_size)) * n_channels
     n_bytes = n_elems * dtype.itemsize
 
+    binary = header.get("BinaryData", "True").strip().lower() != "false"
     compressed = header.get("CompressedData", "False").strip().lower() == "true"
     blob = raw[pos:]
-    if compressed:
-        declared = header.get("CompressedDataSize")
-        if declared is not None:
-            blob = blob[: int(declared)]
-        data = _inflate(blob, n_bytes)
-        # ITK may write multiple zlib streams for >4GB data; not needed here.
-        if len(data) < n_bytes:
-            raise ValueError(f"{path}: decompressed {len(data)} < expected {n_bytes} bytes")
-        data = data[:n_bytes]
+    if not binary:
+        # ASCII payload: whitespace-separated element values (MetaIO's
+        # BinaryData=False mode); byte order / compression don't apply
+        try:
+            arr = np.array(blob.split(), dtype=dtype)
+        except ValueError as e:
+            raise ValueError(f"{path}: bad ASCII data: {e}") from None
+        if arr.size < n_elems:
+            raise ValueError(
+                f"{path}: ASCII data has {arr.size} values, expected {n_elems}")
+        arr = arr[:n_elems]
     else:
-        if len(blob) < n_bytes:
-            raise ValueError(f"{path}: data blob {len(blob)} < expected {n_bytes} bytes")
-        data = blob[:n_bytes]
+        if compressed:
+            declared = header.get("CompressedDataSize")
+            if declared is not None:
+                declared = int(declared)
+                if declared > len(blob):
+                    raise ValueError(
+                        f"{path}: CompressedDataSize {declared} exceeds the "
+                        f"{len(blob)} bytes present (truncated file?)")
+                blob = blob[:declared]
+            try:
+                data = _inflate(blob, n_bytes)
+            except zlib.error as e:
+                raise ValueError(f"{path}: corrupt zlib stream: {e}") from None
+            # ITK may write multiple zlib streams for >4GB data; not needed here.
+            if len(data) < n_bytes:
+                raise ValueError(f"{path}: decompressed {len(data)} < expected {n_bytes} bytes")
+            data = data[:n_bytes]
+        else:
+            if len(blob) < n_bytes:
+                raise ValueError(f"{path}: data blob {len(blob)} < expected {n_bytes} bytes")
+            data = blob[:n_bytes]
 
-    arr = np.frombuffer(data, dtype=dtype, count=n_elems)
-    if big_endian:
-        arr = arr.byteswap().view(arr.dtype.newbyteorder("="))
+        arr = np.frombuffer(data, dtype=dtype, count=n_elems)
+        if big_endian:
+            arr = arr.byteswap().view(arr.dtype.newbyteorder("="))
     # MetaIO stores x fastest → numpy shape is reversed DimSize.
     shape = tuple(reversed(dim_size))
     if n_channels > 1:

@@ -12,6 +12,11 @@ deployment (ROI) path; pass ``--tta`` for the hflip-TTA variant.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 500 — the BASELINE.md north star of ≥500 frames/s
 at 512² per chip (the reference publishes no numbers of its own).
+
+The headline e2e value is the STEADY-STATE PIPELINED mean (``--pipeline``
+sweeps in flight, submit i+k before collecting i — the serving-loop rate);
+the JSON line also carries ``sequential_fps``, the median of strictly
+sequential submit→collect runs, so the two regimes are never conflated.
 """
 
 from __future__ import annotations
@@ -32,6 +37,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--base-c", type=int, default=48)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--pipeline", type=int, default=2,
+                    help="e2e mode: sweeps kept in flight (submit i+k "
+                         "before collecting i); 1 = sequential only")
     ap.add_argument("--tta", action="store_true",
                     help="enable hflip TTA (deployment default is off, like "
                          "the reference ROI path)")
@@ -47,6 +55,9 @@ def main() -> int:
                          "(BASELINE config 5)")
     ap.add_argument("--tile-batch", type=int, default=8,
                     help="baseline path: patch tiles per micro-batch")
+    ap.add_argument("--mirror-batch", action="store_true",
+                    help="baseline path: batch the 4 mirror-TTA views into "
+                         "one forward")
     ap.add_argument("--baseline", action="store_true",
                     help="bench the nnU-Net baseline path instead: "
                          "sliding-window Gaussian tiles + mirror TTA at "
@@ -133,15 +144,30 @@ def main() -> int:
     print(f"[bench] compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
     if metric == "e2e_frames_per_sec_512":
-        # steady-state serving rate: two sweeps stay in flight (submit i+2
-        # before collecting i), so the host tail — device→host pull, exact
-        # select, ellipse AC, next dispatch — and the axon-tunnel round
-        # trips hide under device compute.  Per-sweep work is identical to
-        # the sequential path; `--iters`+2 sweeps are timed back-to-back
-        # and the mean per-sweep time is reported.
+        # Two regimes, both reported (the round-2 bench silently switched
+        # the unchanged metric name from sequential-median to pipelined-mean;
+        # now the JSON carries both):
+        # 1. sequential: submit → collect one sweep at a time, median of
+        #    --iters runs (per-request latency view);
+        # 2. steady-state pipelined: --pipeline sweeps stay in flight, so
+        #    the host tail — device→host pull, exact select, ellipse AC,
+        #    next dispatch — and the axon-tunnel round trips hide under
+        #    device compute (serving-throughput view; the headline value).
+        seq_times = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            engine.predict_case_collect(
+                engine.predict_case_submit(sweep, thr), (0.28, 0.28))
+            seq_times.append(time.time() - t0)
+        seq_med = sorted(seq_times)[len(seq_times) // 2]
+        seq_fps = args.frames / seq_med
+        print(f"[bench] sequential times={['%.3f' % t for t in seq_times]} "
+              f"median fps={seq_fps:.1f}", file=sys.stderr)
+
         from collections import deque
-        q = deque([engine.predict_case_submit(sweep, thr),
-                   engine.predict_case_submit(sweep, thr)])
+        depth = max(1, args.pipeline)
+        q = deque(engine.predict_case_submit(sweep, thr)
+                  for _ in range(depth))
         t0 = time.time()
         for _ in range(args.iters):
             q.append(engine.predict_case_submit(sweep, thr))
@@ -149,7 +175,7 @@ def main() -> int:
         while q:
             engine.predict_case_collect(q.popleft(), (0.28, 0.28))
         elapsed = time.time() - t0
-        best = elapsed / (args.iters + 2)
+        best = elapsed / (args.iters + depth)
         times = [best]
     else:
         times = []
@@ -164,12 +190,16 @@ def main() -> int:
           f"median fps={fps:.1f} sweep/s={fps / args.frames:.2f}",
           file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 500.0, 3),
-    }))
+    }
+    if metric == "e2e_frames_per_sec_512":
+        line["mode"] = f"pipelined_depth{max(1, args.pipeline)}"
+        line["sequential_fps"] = round(seq_fps, 1)
+    print(json.dumps(line))
     return 0
 
 
@@ -250,7 +280,8 @@ def _bench_baseline(args) -> int:
     import dataclasses
     cfg = Config()
     cfg = dataclasses.replace(cfg, plain_unet=dataclasses.replace(
-        cfg.plain_unet, tile_batch=args.tile_batch))
+        cfg.plain_unet, tile_batch=args.tile_batch,
+        mirror_batch=bool(args.mirror_batch)))
     model = PlainConvUNet.from_config(cfg.plain_unet)
     variables = model.init(
         jax.random.PRNGKey(0),

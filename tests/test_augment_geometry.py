@@ -90,7 +90,8 @@ def test_mask_nearest_preserves_binary():
 def test_warp_pair_batch_matches_map_coordinates():
     """The fused 4-corner-gather warp (probe r8c, 2.5× faster on v5e) must
     reproduce jax.scipy.ndimage.map_coordinates bit-semantics: order=1 for
-    the image, order=0 (banker's rounding) for the mask, cval=0 borders."""
+    the image, order=0 (round half away from zero, matching jax — see
+    augment.py) for the mask, cval=0 borders."""
     import jax
     import jax.numpy as jnp
 

@@ -10,6 +10,7 @@ from pathlib import Path
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from att_aspp_unet_tpu.config import (CalibrateConfig, Config, ContainerConfig,
@@ -235,25 +236,43 @@ def test_load_threshold(tmp_path):
 
 
 def test_calibrate(tiny_att, tmp_path, rng):
+    """Mixed-resolution val set: the batched calibrate groups images by
+    native (H, W) — each group is ONE predict_full + ONE Dice-surface
+    dispatch — and must keep per-image curve rows in file order."""
     cfg, variables = tiny_att
     cfg = dataclasses.replace(cfg, calibrate=CalibrateConfig(
         thr_lo=0.3, thr_hi=0.7, thr_steps=5, with_ci=True))
     val = tmp_path / "val"
     (val / "images").mkdir(parents=True)
     (val / "masks").mkdir()
-    for i in range(3):
-        img = (rng.random((40, 48)) * 255).astype(np.uint8)
-        msk = np.zeros((40, 48), np.uint8)
-        msk[10:30, 10:30] = 255
+    shapes = [(40, 48), (32, 40), (40, 48)]   # v1 is its own group
+    for i, hw in enumerate(shapes):
+        img = (rng.random(hw) * 255).astype(np.uint8)
+        msk = np.zeros(hw, np.uint8)
+        msk[hw[0] // 4: -hw[0] // 4, hw[1] // 4: -hw[1] // 4] = 255
         write_gray_png(val / "images" / f"v{i}.png", img)
         write_gray_png(val / "masks" / f"v{i}.png", msk)
 
     out = calibrate(cfg, variables, val, tmp_path / "ck", log=lambda *a: None)
     assert 0.3 <= out["best_thr"] <= 0.7
+    assert out["curves"].shape == (3, 5)
     thr = read_json(tmp_path / "ck/thr.json")
     assert thr["best_thr"] == out["best_thr"]
     assert (tmp_path / "ck/calibrate_curve.csv").exists()
     assert (tmp_path / "ck/calibrate_raw.csv").exists()
+
+    # row order == sorted file order: recompute image 1 (the odd-sized one)
+    # alone and compare its curve
+    from att_aspp_unet_tpu.infer.calibrate import dice_curves
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+    from att_aspp_unet_tpu.io import read_gray_png
+
+    eng = AttAsppEngine(cfg, variables)
+    probs = eng.predict_full(read_gray_png(val / "images/v1.png")[None])
+    gt = (read_gray_png(val / "masks/v1.png") > 127)[None]
+    solo = np.asarray(dice_curves(probs, jnp.asarray(gt),
+                                  jnp.linspace(0.3, 0.7, 5)))[0]
+    np.testing.assert_allclose(out["curves"][1], solo, rtol=1e-6)
 
 
 def test_predict_case_matches_refine_everything(tiny_att, rng):
@@ -308,5 +327,31 @@ def test_candidate_rank_counts_ring_interiors():
     areas = np.asarray(candidate_rank_areas(jnp.asarray(
         np.stack([ring, disk]))))
     assert areas[0] > areas[1]              # filled area: ring wins
-    # quarter-res proxy ≈ true filled area (π·40² vs π·20²)
-    assert areas[0] * 16 > 0.8 * np.pi * 40 ** 2
+    # rank key ≈ true filled area in raw-pixel units (π·40² vs π·20²)
+    assert areas[0] > 0.8 * np.pi * 40 ** 2
+
+
+def test_candidate_rank_does_not_inflate_speckle():
+    """The opposite failure mode: k scattered threshold-noise pixels must
+    rank near k (their raw area), not 16k (one quarter-res cell each) —
+    otherwise speckle-heavy frames outrank the true best frame and push it
+    out of the candidate set."""
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.infer.engine import candidate_rank_areas
+
+    H = W = 120
+    rng = np.random.default_rng(3)
+    speckle = np.zeros((H, W), np.uint8)
+    ys, xs = rng.integers(0, H, 200), rng.integers(0, W, 200)
+    speckle[ys, xs] = 1                     # ≤200 isolated pixels
+    yy, xx = np.mgrid[:H, :W]
+    disk = (((yy - 60) ** 2 + (xx - 60) ** 2) <= 18 ** 2).astype(np.uint8)
+    assert disk.sum() > speckle.sum() * 4   # refined: disk clearly bigger
+
+    areas = np.asarray(candidate_rank_areas(jnp.asarray(
+        np.stack([speckle, disk]))))
+    assert areas[1] > areas[0]              # disk must out-rank speckle
+    # speckle key stays near its raw area (dense noise may enclose a few
+    # accidental quarter-res holes; allow a small slack, not 16×)
+    assert areas[0] < 4 * speckle.sum()

@@ -140,3 +140,178 @@ def test_roundtrip_through_itk_field_order(tmp_path, rng):
     theirs.write_bytes(_itk_style_bytes(np.asarray(re_read.array),
                                         (0.5, 0.5, 0.5)))
     np.testing.assert_array_equal(read_mha(theirs).array, arr)
+
+
+# ------------- ITK header-variant matrix (VERDICT r2 missing #3) -----------
+# Header shapes itk::MetaImageIO can legitimately emit but our writer never
+# does; each variant is hand-assembled and must parse (or fail gracefully).
+
+def test_read_crlf_line_endings(tmp_path, rng):
+    """Files written on Windows carry \\r\\n header lines."""
+    arr = (rng.random((2, 3, 4)) * 255).astype(np.uint8)
+    body = _itk_style_bytes(arr, (1.0, 1.0, 1.0), compressed=False)
+    head, payload = body.split(b"ElementDataFile = LOCAL\n")
+    crlf = head.replace(b"\n", b"\r\n") + b"ElementDataFile = LOCAL\r\n"
+    p = tmp_path / "crlf.mha"
+    p.write_bytes(crlf + payload)
+    np.testing.assert_array_equal(read_mha(p).array, arr)
+
+
+def test_read_ascii_data(tmp_path):
+    """BinaryData = False: whitespace-separated element values."""
+    arr = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    header = ("ObjectType = Image\nNDims = 3\nBinaryData = False\n"
+              "DimSize = 4 3 2\nElementType = MET_SHORT\n"
+              "ElementSpacing = 1 1 1\nElementDataFile = LOCAL\n")
+    p = tmp_path / "ascii.mha"
+    p.write_bytes(header.encode() + " ".join(map(str, arr.ravel())).encode())
+    back = read_mha(p)
+    np.testing.assert_array_equal(back.array, arr)
+    assert back.array.dtype == np.int16
+
+
+def test_read_ascii_data_truncated_fails(tmp_path):
+    header = ("ObjectType = Image\nNDims = 2\nBinaryData = False\n"
+              "DimSize = 4 3\nElementType = MET_UCHAR\n"
+              "ElementDataFile = LOCAL\n")
+    p = tmp_path / "ascii_short.mha"
+    p.write_bytes(header.encode() + b"1 2 3")
+    with pytest.raises(ValueError, match="ASCII data has"):
+        read_mha(p)
+
+
+def test_read_multichannel_and_array_type(tmp_path, rng):
+    """ElementNumberOfChannels > 1 with the MET_*_ARRAY type spelling:
+    channels become the trailing (fastest) axis."""
+    arr = (rng.random((2, 3, 4, 3)) * 255).astype(np.uint8)   # (z,y,x,c)
+    header = ("ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+              "ElementNumberOfChannels = 3\nDimSize = 4 3 2\n"
+              "ElementType = MET_UCHAR_ARRAY\nElementDataFile = LOCAL\n")
+    p = tmp_path / "rgb.mha"
+    p.write_bytes(header.encode() + arr.tobytes())
+    back = read_mha(p)
+    assert back.array.shape == (2, 3, 4, 3)
+    np.testing.assert_array_equal(back.array, arr)
+
+
+def test_read_big_endian(tmp_path):
+    arr = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    header = ("ObjectType = Image\nNDims = 2\nBinaryData = True\n"
+              "BinaryDataByteOrderMSB = True\nDimSize = 4 3\n"
+              "ElementType = MET_USHORT\nElementDataFile = LOCAL\n")
+    p = tmp_path / "be.mha"
+    p.write_bytes(header.encode() + arr.astype(">u2").tobytes())
+    np.testing.assert_array_equal(read_mha(p).array, arr)
+
+
+def test_read_4d_volume(tmp_path, rng):
+    """NDims = 4 (e.g. a time series) reads generically."""
+    arr = (rng.random((2, 3, 4, 5)) * 255).astype(np.uint8)
+    header = ("ObjectType = Image\nNDims = 4\nBinaryData = True\n"
+              "DimSize = 5 4 3 2\nElementType = MET_UCHAR\n"
+              "ElementSpacing = 1 1 1 2\nElementDataFile = LOCAL\n")
+    p = tmp_path / "4d.mha"
+    p.write_bytes(header.encode() + arr.tobytes())
+    back = read_mha(p)
+    assert back.array.shape == (2, 3, 4, 5)
+    assert back.spacing == pytest.approx((1, 1, 1, 2))
+    np.testing.assert_array_equal(back.array, arr)
+
+
+def test_read_compressed_without_declared_size(tmp_path, rng):
+    """ITK always writes CompressedDataSize, but the key is optional in the
+    format: inflate must work from the remaining blob alone."""
+    import zlib as _z
+    arr = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+    header = ("ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+              "CompressedData = True\nDimSize = 4 4 2\n"
+              "ElementType = MET_UCHAR\nElementDataFile = LOCAL\n")
+    p = tmp_path / "nodeclared.mha"
+    p.write_bytes(header.encode() + _z.compress(arr.tobytes(), 6))
+    np.testing.assert_array_equal(read_mha(p).array, arr)
+
+
+def test_graceful_errors(tmp_path, rng):
+    arr = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+
+    def variant(name, header, payload=b""):
+        p = tmp_path / name
+        p.write_bytes(header.encode() + payload)
+        return p
+
+    # declared CompressedDataSize beyond the bytes present (truncated file)
+    import zlib as _z
+    payload = _z.compress(arr.tobytes(), 6)
+    p = variant("trunc.mha",
+                "ObjectType = Image\nNDims = 3\nCompressedData = True\n"
+                f"CompressedDataSize = {len(payload) + 999}\n"
+                "DimSize = 4 4 2\nElementType = MET_UCHAR\n"
+                "ElementDataFile = LOCAL\n", payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        read_mha(p)
+
+    # corrupt zlib stream
+    p = variant("corrupt.mha",
+                "ObjectType = Image\nNDims = 3\nCompressedData = True\n"
+                "DimSize = 4 4 2\nElementType = MET_UCHAR\n"
+                "ElementDataFile = LOCAL\n", b"\x00" * 64)
+    with pytest.raises(ValueError, match="zlib"):
+        read_mha(p)
+
+    # missing DimSize
+    p = variant("nodim.mha",
+                "ObjectType = Image\nNDims = 3\nElementType = MET_UCHAR\n"
+                "ElementDataFile = LOCAL\n")
+    with pytest.raises(ValueError, match="DimSize"):
+        read_mha(p)
+
+    # unparsable DimSize
+    p = variant("baddim.mha",
+                "ObjectType = Image\nNDims = 3\nDimSize = a b c\n"
+                "ElementType = MET_UCHAR\nElementDataFile = LOCAL\n")
+    with pytest.raises(ValueError, match="unparsable"):
+        read_mha(p)
+
+    # non-LOCAL data file (.mhd layout)
+    p = variant("list.mha",
+                "ObjectType = Image\nNDims = 3\nDimSize = 4 4 2\n"
+                "ElementType = MET_UCHAR\nElementDataFile = img.raw\n")
+    with pytest.raises(ValueError, match="LOCAL"):
+        read_mha(p)
+
+    # non-Image object
+    p = variant("mesh.mha",
+                "ObjectType = Mesh\nNDims = 3\nDimSize = 4 4 2\n"
+                "ElementType = MET_UCHAR\nElementDataFile = LOCAL\n")
+    with pytest.raises(ValueError, match="ObjectType"):
+        read_mha(p)
+
+    # unsupported element type
+    p = variant("badtype.mha",
+                "ObjectType = Image\nNDims = 3\nDimSize = 4 4 2\n"
+                "ElementType = MET_OTHER\nElementDataFile = LOCAL\n")
+    with pytest.raises(ValueError, match="ElementType"):
+        read_mha(p)
+
+    # header line without '='
+    p = variant("noeq.mha", "ObjectType = Image\njunk line\n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_mha(p)
+
+    # no ElementDataFile terminator at all
+    p = variant("noterm.mha", "ObjectType = Image\nNDims = 3\n")
+    with pytest.raises(ValueError, match="ElementDataFile"):
+        read_mha(p)
+
+
+def test_unknown_keys_survive_into_extra(tmp_path, rng):
+    arr = (rng.random((2, 3, 4)) * 255).astype(np.uint8)
+    header = ("ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+              "DimSize = 4 3 2\nElementType = MET_UCHAR\n"
+              "ITK_InputFilterName = MetaImageIO\nModality = MET_MOD_US\n"
+              "ElementDataFile = LOCAL\n")
+    p = tmp_path / "extra.mha"
+    p.write_bytes(header.encode() + arr.tobytes())
+    img = read_mha(p)
+    assert img.extra_keys["ITK_InputFilterName"] == "MetaImageIO"
+    assert img.extra_keys["Modality"] == "MET_MOD_US"

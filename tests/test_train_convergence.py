@@ -1,0 +1,91 @@
+"""Proof that training actually LEARNS, not just runs.
+
+The reference's loop demonstrably produced working checkpoints
+(``…stage.py:244-333``, best-Dice checkpointing at ``:328-329``); the other
+train tests here assert mechanics (steps run, checkpoints round-trip).  This
+one overfits a small synthetic ultrasound-like task — bright elliptical rims
+("abdomen rings") whose target is the FILLED ellipse — through the real
+train step (augment → bf16 forward → criterion → AdamW+schedule → update)
+and requires held-out hard Dice ≥ 0.95 within a fixed step budget.  A sign
+error anywhere in the loss/optimizer/augmentation wiring fails this test
+while passing every parity test.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from att_aspp_unet_tpu.config import (AugmentConfig, Config, ModelConfig,
+                                      PreprocessConfig, TrainConfig)
+from att_aspp_unet_tpu.train.augment import augment_batch
+from att_aspp_unet_tpu.train.train_loop import (create_train_state,
+                                                make_train_step)
+
+S = 48          # image side; 4 pool levels need a multiple of 16
+BUDGET = 240    # train steps allowed to reach the bar (converges ~120)
+BAR = 0.95      # held-out hard Dice
+
+
+def _ring_set(n: int, rng: np.random.Generator):
+    """Images: bright elliptical rim + speckle noise.  Masks: the filled
+    ellipse — the net must learn rim → interior, a miniature of the real
+    abdomen task."""
+    imgs, msks = [], []
+    for _ in range(n):
+        cy, cx = rng.uniform(S * 0.35, S * 0.65, 2)
+        ry, rx = rng.uniform(S * 0.15, S * 0.3, 2)
+        yy, xx = np.mgrid[:S, :S]
+        d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        rim = np.exp(-((np.sqrt(d) - 1.0) ** 2) / (2 * 0.08 ** 2))
+        img = (40 + 160 * rim + rng.normal(0, 12, (S, S))).clip(0, 255)
+        imgs.append(img.astype(np.uint8))
+        msks.append(((d <= 1.0) * 255).astype(np.uint8))
+    return np.stack(imgs), np.stack(msks)
+
+
+def test_training_converges_on_synthetic_rings():
+    rng = np.random.default_rng(0)
+    tr_x, tr_y = _ring_set(16, rng)
+    va_x, va_y = _ring_set(8, rng)       # held out, same distribution
+
+    cfg = Config(
+        preprocess=PreprocessConfig(img_size=S),
+        model=ModelConfig(base_c=8),
+        # long cosine horizon: the schedule must not decay to zero inside
+        # the budget (epochs × steps_per_epoch bounds the decay)
+        train=TrainConfig(batch_size=8, epochs=400, lr=1e-3,
+                          augment=AugmentConfig(elastic_p=0.0)))
+    state = create_train_state(cfg.model, cfg.train, steps_per_epoch=2,
+                               rng=jax.random.PRNGKey(0), sample_hw=(S, S))
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+
+    @jax.jit
+    def hard_dice(state, imgs, msks):
+        x, y = augment_batch(jax.random.PRNGKey(0), imgs, msks,
+                             cfg.train.augment, train=False)
+        logits, _ = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+        p = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+        g = y[..., 0].astype(jnp.float32)
+        return 2 * jnp.sum(p * g) / (jnp.sum(p) + jnp.sum(g) + 1e-7)
+
+    key = jax.random.PRNGKey(1)
+    first_loss, last_loss, curve = None, None, []
+    for step in range(BUDGET):
+        i = (step * 8) % len(tr_x)
+        state, m = train_step(state, tr_x[i:i + 8], tr_y[i:i + 8], key)
+        if first_loss is None:
+            first_loss = float(m["loss"])
+        last_loss = float(m["loss"])
+        if step % 40 == 39:
+            d = float(hard_dice(state, va_x, va_y))
+            curve.append((step + 1, d))
+            if d >= BAR:
+                break
+
+    assert last_loss < first_loss, (first_loss, last_loss)
+    assert curve and curve[-1][1] >= BAR, \
+        f"val hard Dice never reached {BAR} within {BUDGET} steps: {curve}"
