@@ -76,6 +76,10 @@ def load_variables(weights: Path, cfg, img_size: int = 64,
             return load_nnunet_checkpoint(weights, cfg.plain_unet, init)
         from .utils.torch_import import load_torch_checkpoint
         return load_torch_checkpoint(weights, cfg.model, init)
+    if weights.suffix == ".npz":
+        # compact flat archive (benchmarks/train_synthetic_tpu.py exports)
+        from .utils.npz_weights import load_npz_variables
+        return load_npz_variables(weights)
     # orbax checkpoint directory
     import orbax.checkpoint as ocp
 

@@ -87,6 +87,9 @@ class PlainUNetConfig:
     tile_step: float = 0.5
     use_gaussian: bool = True
     use_mirroring: bool = True
+    mirror_batch: bool = False       # run the 4 mirror-TTA views as one
+                                     # 4·tile_batch forward (bigger MXU
+                                     # batches, 4× activation memory)
     tile_batch: int = 8              # patch tiles per forward micro-batch
                                      # (bounds activation HBM; a full sweep's
                                      # tiles at once needs >16 GB)

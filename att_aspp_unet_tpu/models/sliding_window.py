@@ -49,13 +49,14 @@ def gaussian_importance_map(tile_hw: Tuple[int, int],
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "tile_hw", "step_frac",
                                              "use_gaussian", "use_mirroring",
-                                             "tile_batch"))
+                                             "tile_batch", "mirror_batch"))
 def sliding_window_predict(apply_fn: Callable, variables, frames: jax.Array,
                            tile_hw: Tuple[int, int] = (448, 576),
                            step_frac: float = 0.5,
                            use_gaussian: bool = True,
                            use_mirroring: bool = True,
-                           tile_batch: int = 8) -> jax.Array:
+                           tile_batch: int = 8,
+                           mirror_batch: bool = False) -> jax.Array:
     """Tiled prediction over a stack of frames.
 
     apply_fn(variables, x_nhwc) must return logits (B, h, w, C).
@@ -87,13 +88,25 @@ def sliding_window_predict(apply_fn: Callable, variables, frames: jax.Array,
         return out.astype(jnp.float32)
 
     def forward_tta(x):
+        if not use_mirroring:
+            return forward(x)
+        if mirror_batch:
+            # all four mirror views as ONE 4·tile_batch forward: fewer,
+            # larger MXU programs than four sequential tile_batch forwards
+            # (costs 4× the activation memory of one view)
+            B = x.shape[0]
+            views = jnp.concatenate(
+                [x, jnp.flip(x, axis=2), jnp.flip(x, axis=1),
+                 jnp.flip(x, axis=(1, 2))], axis=0)
+            l = forward(views)
+            return (l[:B] + jnp.flip(l[B:2 * B], axis=2)
+                    + jnp.flip(l[2 * B:3 * B], axis=1)
+                    + jnp.flip(l[3 * B:], axis=(1, 2))) / 4.0
         l = forward(x)
-        if use_mirroring:
-            l = l + jnp.flip(forward(jnp.flip(x, axis=2)), axis=2)
-            l = l + jnp.flip(forward(jnp.flip(x, axis=1)), axis=1)
-            l = l + jnp.flip(forward(jnp.flip(x, axis=(1, 2))), axis=(1, 2))
-            l = l / 4.0
-        return l
+        l = l + jnp.flip(forward(jnp.flip(x, axis=2)), axis=2)
+        l = l + jnp.flip(forward(jnp.flip(x, axis=1)), axis=1)
+        l = l + jnp.flip(forward(jnp.flip(x, axis=(1, 2))), axis=(1, 2))
+        return l / 4.0
 
     # micro-batch the tile forward: a whole sweep's N·T tiles at the 448×576
     # patch through a 7-stage net at once overflows HBM (measured 16.4 GB on

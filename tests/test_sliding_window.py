@@ -74,14 +74,16 @@ def _oracle(frames, w, tile_hw, step, mirroring):
     return probs.transpose(0, 3, 1, 2)
 
 
+@pytest.mark.parametrize("mirror_batch", [False, True])
 @pytest.mark.parametrize("mirroring", [False, True])
-def test_sliding_window_matches_oracle(rng, mirroring):
+def test_sliding_window_matches_oracle(rng, mirroring, mirror_batch):
     frames = rng.random((2, 40, 56)).astype(np.float32)
     w = np.array([0.5, 1.0, -0.7], np.float32)
     variables = {"w": jnp.asarray(w)}
     got = np.asarray(sliding_window_predict(
         _linear_apply, variables, jnp.asarray(frames), tile_hw=(32, 32),
-        step_frac=0.5, use_gaussian=True, use_mirroring=mirroring))
+        step_frac=0.5, use_gaussian=True, use_mirroring=mirroring,
+        mirror_batch=mirror_batch))
     want = _oracle(frames, w, (32, 32), 0.5, mirroring)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got.sum(axis=1), 1.0, atol=1e-5)

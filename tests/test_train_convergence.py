@@ -45,7 +45,10 @@ def _ring_set(n: int, rng: np.random.Generator):
     return np.stack(imgs), np.stack(msks)
 
 
-def test_training_converges_on_synthetic_rings():
+@pytest.fixture(scope="module")
+def trained():
+    """Overfit run shared by the convergence assertion and the trained-path
+    e2e test; returns (cfg, final state, loss curve, dice curve)."""
     rng = np.random.default_rng(0)
     tr_x, tr_y = _ring_set(16, rng)
     va_x, va_y = _ring_set(8, rng)       # held out, same distribution
@@ -73,19 +76,48 @@ def test_training_converges_on_synthetic_rings():
         return 2 * jnp.sum(p * g) / (jnp.sum(p) + jnp.sum(g) + 1e-7)
 
     key = jax.random.PRNGKey(1)
-    first_loss, last_loss, curve = None, None, []
+    losses, curve = [], []
     for step in range(BUDGET):
         i = (step * 8) % len(tr_x)
         state, m = train_step(state, tr_x[i:i + 8], tr_y[i:i + 8], key)
-        if first_loss is None:
-            first_loss = float(m["loss"])
-        last_loss = float(m["loss"])
+        losses.append(float(m["loss"]))
         if step % 40 == 39:
             d = float(hard_dice(state, va_x, va_y))
             curve.append((step + 1, d))
             if d >= BAR:
                 break
+    return cfg, state, losses, curve
 
-    assert last_loss < first_loss, (first_loss, last_loss)
+
+def test_training_converges_on_synthetic_rings(trained):
+    _, _, losses, curve = trained
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
     assert curve and curve[-1][1] >= BAR, \
         f"val hard Dice never reached {BAR} within {BUDGET} steps: {curve}"
+
+
+def test_trained_weights_drive_the_full_serving_path(trained):
+    """The whole deployment path on TRAINED weights (VERDICT r2 weak #5:
+    candidate ranking / exact select / ellipse AC had only ever seen
+    random-weight noise): a synthetic sweep with a known best frame and
+    analytic circumference must come back with a nearby frame pick and an
+    AC within tolerance of the Ramanujan-II truth."""
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+    from att_aspp_unet_tpu.tools.synthetic import make_sweep
+
+    cfg, state, _, _ = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    frames, best, truth = make_sweep(12, 96, 112, seed=7)
+
+    engine = AttAsppEngine(cfg, variables)
+    frame, mask, ac_mm = engine.predict_case(frames, (1.0, 1.0),
+                                             threshold=0.5)
+
+    assert mask.sum() > 0, "trained model segmented nothing"
+    # quality ramps over ±25 % of the sweep around the peak; the pick must
+    # land in the high-quality window
+    assert abs(frame - best) <= 3, (frame, best)
+    # AC in px (spacing 1.0) vs the analytic rim circumference at the peak
+    # frame; ring scale differs frame-to-frame, allow a generous envelope
+    truth_px = truth.circumference_px()
+    assert ac_mm == pytest.approx(truth_px, rel=0.35), (ac_mm, truth_px)
