@@ -198,6 +198,24 @@ def main() -> int:
         print(f"[bench] sequential times={['%.3f' % t for t in seq_times]} "
               f"median fps={seq_fps:.1f}", file=sys.stderr)
 
+        # dispatch-only: back-to-back submits, one readback at the end —
+        # the pure device throughput, pinning how much of the e2e gap is
+        # axon-tunnel round trips (probe r12: transfers do not overlap
+        # compute through the tunnel; on directly attached hardware the
+        # steady-state rate would approach this bound)
+        handles = [engine.predict_case_submit(sweep, thr)
+                   for _ in range(args.iters)]
+        t0 = time.time()
+        handles += [engine.predict_case_submit(sweep, thr)
+                    for _ in range(args.iters)]
+        jax.block_until_ready(handles[-1][:2])
+        disp = (time.time() - t0) / args.iters
+        disp_fps = args.frames / disp
+        for h in handles:
+            engine.predict_case_collect(h, (0.28, 0.28))
+        print(f"[bench] dispatch-only {disp:.3f} s/sweep "
+              f"({disp_fps:.1f} f/s)", file=sys.stderr)
+
         from collections import deque
         depth = max(1, args.pipeline)
         q = deque(engine.predict_case_submit(sweep, thr)
@@ -233,6 +251,7 @@ def main() -> int:
     if metric == "e2e_frames_per_sec_512":
         line["mode"] = f"pipelined_depth{max(1, args.pipeline)}"
         line["sequential_fps"] = round(seq_fps, 1)
+        line["dispatch_only_fps"] = round(disp_fps, 1)
     print(json.dumps(line))
     return 0
 
