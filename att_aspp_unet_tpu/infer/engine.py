@@ -230,6 +230,13 @@ class AttAsppEngine:
         if mesh is not None:
             from ..parallel.mesh import replicate
             self.variables = jax.device_put(self.variables, replicate(mesh))
+        else:
+            # Pin the params on device once.  Host-numpy variables (e.g. an
+            # ``npz_weights`` checkpoint) would otherwise re-upload the whole
+            # tree on EVERY dispatch — ~2 s/call through the axon tunnel for
+            # the base_c-48 flagship (probe r15's 5× "trained-weights
+            # regression" was exactly this, not a content effect).
+            self.variables = jax.device_put(self.variables)
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
         self._nval_cache: Dict[int, jax.Array] = {}
@@ -403,6 +410,8 @@ class BaselineEngine:
         if mesh is not None:
             from ..parallel.mesh import replicate
             self.variables = jax.device_put(self.variables, replicate(mesh))
+        else:
+            self.variables = jax.device_put(self.variables)  # see AttAsppEngine
         self.model = model or PlainConvUNet.from_config(cfg.plain_unet)
         self._apply = functools.partial(self.model.apply, train=False)
 
