@@ -87,10 +87,13 @@ class PlainUNetConfig:
     tile_step: float = 0.5
     use_gaussian: bool = True
     use_mirroring: bool = True
-    mirror_batch: bool = False       # run the 4 mirror-TTA views as one
+    mirror_batch: bool = True        # run the 4 mirror-TTA views as one
                                      # 4·tile_batch forward (bigger MXU
-                                     # batches, 4× activation memory)
-    tile_batch: int = 8              # patch tiles per forward micro-batch
+                                     # batches, 4× activation memory).
+                                     # Probe r14: tb=16+mirror_batch runs the
+                                     # sweep at 30 f/s / 32% MFU vs 20 f/s for
+                                     # sequential mirrors (NOTES.md round-3).
+    tile_batch: int = 16             # patch tiles per forward micro-batch
                                      # (bounds activation HBM; a full sweep's
                                      # tiles at once needs >16 GB)
     compute_dtype: str = "bfloat16"
