@@ -280,7 +280,13 @@ class AttAsppEngine:
 
     def predict_full(self, sweep: np.ndarray) -> jax.Array:
         """Raw (N, H, W) sweep → (N, H, W) float32 probabilities at native
-        resolution (blurred, ready for thresholding)."""
+        resolution (blurred, ready for thresholding).
+
+        Note: ``PredictConfig.tta_hflip`` defaults to False (deployment
+        config; the reference predict/calibrate path ran hflip TTA,
+        ``…stage.py:336-338``).  Callers wanting reference-parity output
+        must pass a config with ``predict.tta_hflip=True``; the predict
+        CLI does this itself."""
         p = self.cfg.preprocess
         staged, pad = self._stage_frames(sweep)
         out = _predict_full_impl(
@@ -319,6 +325,9 @@ class AttAsppEngine:
         (speck removal, largest-CC) are bounded and absorbed by the margin.
         Selection within the candidates is the exact cv2-parity re-rank on
         the fully refined masks.
+
+        TTA note: see :meth:`predict_full` — ``tta_hflip`` defaults off
+        here (deployment config), unlike the reference predict CLI path.
         """
         return self.predict_case_collect(self.predict_case_submit(
             sweep, threshold), spacing)

@@ -77,12 +77,91 @@ def _fractional_weights(t: int) -> np.ndarray:
     return ya.astype(np.float32)
 
 
+# Default interpolation lowering (resolved at trace time when ``impl`` is
+# None).  All impls are bit-identical lookups — see ``_interp_blocks``.
+_DEFAULT_IMPL = "onehot_bf16"
+
+
+def _interp_blocks(blocks: jax.Array, corner_luts: jax.Array,
+                   wts: jax.Array, impl: str) -> jax.Array:
+    """Per-block LUT lookup + bilinear corner blend: (N, B, P) u8 values ×
+    (N, B, 256, 4) f32 corner LUTs × (P, 4) weights → (N, B, P) f32.
+
+    Every impl computes the exact integer table values ``L_c[v]``; the
+    one-hot impls then run the identical f32 weighted blend and are
+    bit-identical to each other (``nibble`` exposes its two stacked
+    reductions to XLA reassociation — ±1 ULP in the blend, ≤±1 grey level
+    after rounding on ~0.2 % of pixels).  They differ in how the lookup
+    feeds the MXU (the gather formulation measured ~25× slower on v5e, so
+    all impls are contractions):
+
+    - ``onehot_bf16``: one-hot(v) ∈ bf16, (P,256)·(256,4) matmul per block.
+      The materialised one-hot is ~274 MB/frame of HBM traffic — this path
+      is HBM-bound at sweep scale.
+    - ``onehot_int8``: same contraction with an int8 one-hot against
+      ``L−128`` (int8 range), int32 accumulation, +128 after — halves the
+      one-hot's HBM bytes.  Exact: the matmul selects single table entries.
+    - ``nibble``: v splits into 4-bit halves; a 16-wide one-hot of the low
+      nibble contracts against the (16, 16·4) reshaped LUT (MXU), then the
+      high nibble selects among the 16 candidates on the VPU (fused reduce).
+      One-hot traffic drops 16×; the (P, 64) bf16 intermediate holds exact
+      integer table values (≤255 fits bf16's 8-bit mantissa).
+    """
+    bins = jnp.arange(256, dtype=jnp.uint8)
+
+    if impl == "onehot_bf16":
+        def frame_interp(args):
+            vb, cl = args                                       # (B,P),(B,256,4)
+            onehot = (vb[:, :, None] == bins[None, None, :]).astype(jnp.bfloat16)
+            g = jax.lax.dot_general(
+                onehot, cl.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)             # (B, P, 4)
+            return jnp.sum(g * wts[None], axis=-1)              # (B, P)
+    elif impl == "onehot_int8":
+        def frame_interp(args):
+            vb, cl = args
+            onehot = (vb[:, :, None] == bins[None, None, :]).astype(jnp.int8)
+            l8 = (cl - 128.0).astype(jnp.int8)                  # exact: cl ∈ [0,255] ints
+            g = jax.lax.dot_general(
+                onehot, l8, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)               # (B, P, 4)
+            g = g.astype(jnp.float32) + 128.0                   # == L_c[v] exactly
+            return jnp.sum(g * wts[None], axis=-1)
+    elif impl == "nibble":
+        nib = jnp.arange(16, dtype=jnp.uint8)
+
+        def frame_interp(args):
+            vb, cl = args
+            B = vb.shape[0]
+            lo = vb & jnp.uint8(15)
+            hi = vb >> 4
+            oh_lo = (lo[:, :, None] == nib[None, None, :]).astype(jnp.bfloat16)
+            lr = cl.astype(jnp.bfloat16).reshape(B, 16, 16, 4)  # (hi, lo, c)
+            lr = lr.transpose(0, 2, 1, 3).reshape(B, 16, 64)    # (lo, hi·c)
+            t = jax.lax.dot_general(
+                oh_lo, lr, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.bfloat16)            # (B, P, 64)
+            t = t.reshape(B, -1, 16, 4).astype(jnp.float32)     # exact L entries
+            oh_hi = (hi[:, :, None] == nib[None, None, :]).astype(jnp.float32)
+            g = jnp.sum(t * oh_hi[..., None], axis=2)           # (B, P, 4)
+            return jnp.sum(g * wts[None], axis=-1)
+    else:
+        raise ValueError(f"unknown CLAHE interp impl {impl!r}")
+
+    return jax.lax.map(frame_interp, (blocks, corner_luts))
+
+
 @functools.partial(jax.jit, static_argnames=("clip_limit", "grid",
-                                             "use_pallas"))
+                                             "use_pallas", "impl"))
 def clahe(frames: jax.Array, clip_limit: float = 1.0,
           grid: Tuple[int, int] = (8, 8),
-          use_pallas: bool = None) -> jax.Array:
+          use_pallas: bool = None, impl: str = None) -> jax.Array:
     """Apply CLAHE to a stack of uint8 frames ``(..., H, W)`` → uint8.
+
+    ``impl`` selects the interpolation lowering (see ``_interp_blocks``);
+    ``None`` resolves to the module default at trace time.  All impls are
+    bit-identical.
 
     ``use_pallas``: run step 5 as the VMEM-resident Pallas kernel
     (``ops/pallas/clahe_interp.py``) instead of the batched one-hot matmul.
@@ -146,18 +225,8 @@ def clahe(frames: jax.Array, clip_limit: float = 1.0,
         out_blocks = clahe_interp_pallas_batched(blocks.astype(jnp.int32),
                                                  corner_luts, wts)
     else:
-        bins = jnp.arange(256, dtype=jnp.uint8)
-
-        def frame_interp(args):
-            vb, cl = args                                           # (B,P),(B,256,4)
-            onehot = (vb[:, :, None] == bins[None, None, :]).astype(jnp.bfloat16)
-            g = jax.lax.dot_general(
-                onehot, cl.astype(jnp.bfloat16),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)                 # (B, P, 4)
-            return jnp.sum(g * wts[None], axis=-1)                  # (B, P)
-
-        out_blocks = jax.lax.map(frame_interp, (blocks, corner_luts))
+        out_blocks = _interp_blocks(blocks, corner_luts, wts,
+                                    impl or _DEFAULT_IMPL)
     out = out_blocks.reshape(N, By, Bx, th, tw).transpose(0, 1, 3, 2, 4)
     out = out.reshape(N, By * th, Bx * tw)[:, pt:pt + H, pl:pl + W]
     out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)

@@ -53,11 +53,13 @@ def main() -> int:
     ap.add_argument("--train", action="store_true",
                     help="bench the data-parallel train step instead "
                          "(BASELINE config 5)")
-    ap.add_argument("--tile-batch", type=int, default=8,
-                    help="baseline path: patch tiles per micro-batch")
-    ap.add_argument("--mirror-batch", action="store_true",
+    ap.add_argument("--tile-batch", type=int, default=None,
+                    help="baseline path: patch tiles per micro-batch "
+                         "(default: config value, 16)")
+    ap.add_argument("--mirror-batch", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="baseline path: batch the 4 mirror-TTA views into "
-                         "one forward")
+                         "one forward (default: config value, on)")
     ap.add_argument("--baseline", action="store_true",
                     help="bench the nnU-Net baseline path instead: "
                          "sliding-window Gaussian tiles + mirror TTA at "
@@ -203,13 +205,17 @@ def main() -> int:
         # axon-tunnel round trips (probe r12: transfers do not overlap
         # compute through the tunnel; on directly attached hardware the
         # steady-state rate would approach this bound)
-        handles = [engine.predict_case_submit(sweep, thr)
-                   for _ in range(args.iters)]
+        # time the WHOLE submit burst: with a FIFO device queue, blocking on
+        # the last handle waits for every submitted sweep, so any submits
+        # issued before t0 would leak their device time into the timed
+        # window (a pre-t0 warm queue here once doubled the reported
+        # s/sweep — the r15 "dispatch-only inversion" artifact)
+        n_disp = 2 * args.iters
         t0 = time.time()
-        handles += [engine.predict_case_submit(sweep, thr)
-                    for _ in range(args.iters)]
+        handles = [engine.predict_case_submit(sweep, thr)
+                   for _ in range(n_disp)]
         jax.block_until_ready(handles[-1][:2])
-        disp = (time.time() - t0) / args.iters
+        disp = (time.time() - t0) / n_disp
         disp_fps = args.frames / disp
         for h in handles:
             engine.predict_case_collect(h, (0.28, 0.28))
@@ -332,9 +338,14 @@ def _bench_baseline(args) -> int:
     print(f"[bench] backend={jax.default_backend()}", file=sys.stderr)
     import dataclasses
     cfg = Config()
-    cfg = dataclasses.replace(cfg, plain_unet=dataclasses.replace(
-        cfg.plain_unet, tile_batch=args.tile_batch,
-        mirror_batch=bool(args.mirror_batch)))
+    overrides = {}
+    if args.tile_batch is not None:
+        overrides["tile_batch"] = args.tile_batch
+    if args.mirror_batch is not None:
+        overrides["mirror_batch"] = bool(args.mirror_batch)
+    if overrides:
+        cfg = dataclasses.replace(cfg, plain_unet=dataclasses.replace(
+            cfg.plain_unet, **overrides))
     model = PlainConvUNet.from_config(cfg.plain_unet)
     variables = model.init(
         jax.random.PRNGKey(0),

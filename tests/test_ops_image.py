@@ -78,6 +78,21 @@ def test_clahe_higher_clip(rng):
     _assert_clahe_close(got[0], clahe_oracle(frames[0], 4.0, (8, 8)))
 
 
+def test_clahe_interp_impls_agree(rng):
+    """The int8 lowering is bit-identical to the bf16 one (exact L−128
+    offset trick); the nibble lowering may differ ±1 grey level on rare
+    pixels where XLA reassociates its two stacked f32 reductions
+    (``ops/clahe.py::_interp_blocks``)."""
+    frames = (rng.random((2, 35, 45)) * 255).astype(np.uint8)
+    base = np.asarray(clahe(frames, 1.0, (8, 8), impl="onehot_bf16"))
+    i8 = np.asarray(clahe(frames, 1.0, (8, 8), impl="onehot_int8"))
+    np.testing.assert_array_equal(i8, base)
+    nib = np.asarray(clahe(frames, 1.0, (8, 8), impl="nibble"))
+    diff = np.abs(nib.astype(int) - base.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() <= 0.02
+
+
 def test_clahe_structured_image():
     # gradient + noise-free: LUTs should still match the oracle bit-for-bit
     y = np.linspace(0, 255, 64).astype(np.uint8)
