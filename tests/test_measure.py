@@ -41,6 +41,31 @@ def test_fit_ellipse_batch():
     assert bool(valid[0]) and not bool(valid[1])
 
 
+@pytest.mark.parametrize("a,b,angle", [(30, 20, 0), (40, 15, 30), (25, 25, 0),
+                                       (35, 22, 75)])
+def test_fit_ellipse_host_matches_device(a, b, angle):
+    """The numpy host fit (serving collect tail, ``_fit_ellipse_np``) agrees
+    with the jitted device fit on the same boundary-pixel set — same
+    Halir–Flusser formulation, f64 host vs f32 device."""
+    from att_aspp_unet_tpu.measure.ellipse import _fit_ellipse_np
+
+    m = _ellipse_mask((128, 128), 64, 64, a, b, angle)
+    dev = [float(np.asarray(r)[0]) for r in fit_ellipse_mask(m[None])[:4]]
+    hcx, hcy, hmaj, hmin, hvalid = _fit_ellipse_np(m)
+    assert hvalid
+    np.testing.assert_allclose([hcx, hcy, hmaj, hmin], dev,
+                               rtol=5e-3, atol=5e-2)
+
+
+def test_fit_ellipse_host_degenerate():
+    from att_aspp_unet_tpu.measure.ellipse import _fit_ellipse_np
+
+    assert _fit_ellipse_np(np.zeros((16, 16), np.uint8))[4] is False
+    line = np.zeros((16, 16), np.uint8)
+    line[8, 2:14] = 1            # collinear points: no ellipse solution
+    assert not _fit_ellipse_np(line)[4]
+
+
 def test_ellipse_circumference_known():
     # circle: C = 2πr
     c = float(ellipse_circumference(10.0, 10.0))
