@@ -176,9 +176,12 @@ class PredictConfig:
     tta_hflip: bool = False
     gaussian_kernel: int = 5
     topk_frames: int = 5
-    # extra raw-area candidates refined beyond topk in predict_case, so
-    # refinement-induced re-ranking can't push a winner out of the set
-    refine_margin: int = 3
+    # extra candidates refined beyond topk in predict_case, so proxy-rank
+    # error (the key over-estimates junk shapes, never under-estimates a
+    # winner — engine.candidate_rank_areas) can't push a winner out of the
+    # set; 11 → 16 refined frames, whose extra refine+transfer cost is
+    # noise next to the forward
+    refine_margin: int = 11
     min_area_px: int = 20
     min_area_frac: float = 0.0015
     close_kernel: int = 7

@@ -12,9 +12,11 @@ between two models, and agreement plots — restructured the framework's way:
 * plotting walks a figure-spec table instead of inline plt calls.
 
 File contracts kept verbatim (shared with the reference's downstream use):
-``merged_ac_values.csv``, ``metrics.csv`` (rows = model, columns
-``MAE_mm/RMSE_mm/MAPE_pct/Corr_r``), ``stats.txt``, ``scatter_<model>.png``,
-``bland_alt_<model>.png``, ``error_hist.png``.
+``merged_ac_values.csv`` (error columns ``abs_err/sq_err/ape_%`` as the
+reference writes them, plus a signed ``err_mm``), ``metrics.csv`` (rows =
+model in alphabetical order, columns ``MAE_mm/RMSE_mm/MAPE_pct/Corr_r``),
+``stats.txt``, ``scatter_<model>.png``, ``bland_alt_<model>.png``,
+``error_hist.png``.
 """
 
 from __future__ import annotations
@@ -88,8 +90,12 @@ def match_predictions(gt_long: pd.DataFrame,
     if joined.empty:
         raise RuntimeError("No matched (case_id, sweep_idx)")
     err = joined["ac_mm"].to_numpy(float) - joined["gt_ac_mm"].to_numpy(float)
+    # reference merged-CSV error columns kept verbatim (abs_err/sq_err/ape_%,
+    # ``analyze_ac.py:59-61``); err_mm (signed) is an addition
     return joined.assign(err_mm=err, abs_err=np.abs(err),
-                         pct_err=100.0 * np.abs(err) / joined["gt_ac_mm"])
+                         sq_err=err ** 2,
+                         **{"ape_%": 100.0 * np.abs(err)
+                            / joined["gt_ac_mm"]})
 
 
 # ------------------------------------------------------------------ metrics
@@ -106,7 +112,9 @@ ERROR_METRICS: Tuple[Tuple[str, Callable], ...] = (
 def error_table(matched: pd.DataFrame, ndigits: int = 3) -> pd.DataFrame:
     """One row per model, one column per ``ERROR_METRICS`` entry."""
     rows: Dict[str, Dict[str, float]] = {}
-    for model, sub in matched.groupby("model", sort=False):
+    # sorted groupby → alphabetical model rows, the reference's metrics.csv
+    # row order (``analyze_ac.py:101-107`` uses the groupby default)
+    for model, sub in matched.groupby("model", sort=True):
         p = sub["ac_mm"].to_numpy(float)
         g = sub["gt_ac_mm"].to_numpy(float)
         rows[model] = {name: round(float(fn(p, g)), ndigits)

@@ -95,32 +95,45 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
     return gaussian_blur(native, gauss_k, 0.0)
 
 
-def candidate_rank_areas(binary: jax.Array) -> jax.Array:
+def candidate_rank_areas(binary: jax.Array,
+                         close_kernel: int = 7) -> jax.Array:
     """(N, H, W) 0/1 → (N,) rank key ≈ the area each frame would have AFTER
     refinement, in raw-pixel units.
 
     The reference refines EVERY frame and selects top-k by refined area
     (``…stage.py:490-503``); raw thresholded area can underestimate it
-    without bound when hole filling would add a ring's interior (an abdomen
-    rim with unsegmented inside).  Key: raw area + 16 × the number of
-    quarter-resolution cells that hole-filling ADDS after a 4×4 max-pool
-    (the pool keeps rims ≥1 px thick connected across small gaps, like the
-    7×7 close).  Counting only the fill delta — not every pooled cell —
-    means scattered speckle ranks at its raw area instead of inflated 16×
-    (k isolated pixels occupy k cells but enclose nothing), so neither a
-    ring frame nor a speckle-heavy frame can push the reference's pick out
-    of the candidate set.  Downward refinement moves (speck removal,
-    largest-CC-only) stay bounded and are absorbed by
-    ``PredictConfig.refine_margin``.
-    """
-    from ..postprocess.morphology import fill_holes
+    without bound when refinement ADDS area.  Two upward moves exist, and
+    the key models both with the same operators refinement itself uses:
 
-    pooled = jax.lax.reduce_window(binary, np.uint8(0), jax.lax.max,
+    - the ``close_kernel`` morphological close is applied at FULL resolution
+      to every frame (two reduce-window passes — cheap next to the
+      forward).  This is exact for the close's effects: dense dot/dither
+      patterns (probability plateaus at the threshold) solidify to their
+      true closed extent, while genuinely sparse speckle — gaps wider than
+      the kernel — is left at its raw count, never inflated (round-2
+      advisor finding);
+    - hole filling is estimated on the 4×4-pooled closed mask (fill is the
+      expensive propagation, and a ring's interior only needs cell
+      precision): + 16 px per quarter-res cell the fill adds, so an
+      abdomen rim ranks with its interior counted.
+
+    Upward error vs the true refined area is bounded (≤16 px per partial
+    boundary cell of a filled region, plus components the refine's
+    largest-CC-only step would drop) and errs toward KEEPING frames in the
+    candidate set; ``PredictConfig.refine_margin`` absorbs it.  Selection
+    among the candidates is exact (fully refined masks, cv2-parity
+    re-rank).
+    """
+    from ..postprocess.morphology import (binary_closing, fill_holes,
+                                          structuring_ellipse)
+
+    closed = binary_closing(binary, structuring_ellipse(close_kernel))
+    closed_raw = closed.sum(axis=(-2, -1), dtype=jnp.int32)
+    pooled = jax.lax.reduce_window(closed, np.uint8(0), jax.lax.max,
                                    (1, 4, 4), (1, 4, 4), "SAME")
-    raw = binary.sum(axis=(-2, -1), dtype=jnp.int32)
     cells = pooled.sum(axis=(-2, -1), dtype=jnp.int32)
     filled = fill_holes(pooled).sum(axis=(-2, -1), dtype=jnp.int32)
-    return raw + 16 * (filled - cells)
+    return closed_raw + 16 * (filled - cells)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -144,7 +157,7 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
                                tta, gauss_k)
     binary = (probs > threshold).astype(jnp.uint8)
     n = binary.shape[0]
-    areas = candidate_rank_areas(binary)
+    areas = candidate_rank_areas(binary, close_kernel)
     # reference candidate order = np.argsort(areas)[::-1]: descending area,
     # higher frame index first on ties — lexsort primary -areas, secondary
     # -idx (overflow-free for any frame size, unlike a composite int key).
@@ -318,10 +331,10 @@ class AttAsppEngine:
         The reference refined every frame before selecting
         (``…stage.py:490-503``); since selection only ever looks at the
         ``topk`` largest candidates, this refines just the top
-        ``topk + refine_margin`` frames, ranked by a hole-filled area proxy
-        (quarter-resolution max-pool + fill — see ``_predict_case_impl``)
-        so ring-shaped masks whose interior refinement would fill rank
-        where their refined area puts them; downward refinement moves
+        ``topk + refine_margin`` frames, ranked by a refined-area proxy
+        (full-resolution close + quarter-resolution hole fill — see
+        ``candidate_rank_areas``) so ring-shaped and dense-dither masks
+        rank where their refined area puts them; downward refinement moves
         (speck removal, largest-CC) are bounded and absorbed by the margin.
         Selection within the candidates is the exact cv2-parity re-rank on
         the fully refined masks.

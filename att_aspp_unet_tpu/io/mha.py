@@ -144,7 +144,10 @@ def read_mha(path) -> MetaImage:
         # BinaryData=False mode); byte order / compression don't apply
         try:
             arr = np.array(blob.split(), dtype=dtype)
-        except ValueError as e:
+        except (ValueError, OverflowError) as e:
+            # numpy 2.x raises OverflowError (not ValueError) for integer
+            # tokens outside the element type's range, e.g. "300" as
+            # MET_UCHAR — keep the path-prefixed error contract either way
             raise ValueError(f"{path}: bad ASCII data: {e}") from None
         if arr.size < n_elems:
             raise ValueError(
@@ -154,7 +157,12 @@ def read_mha(path) -> MetaImage:
         if compressed:
             declared = header.get("CompressedDataSize")
             if declared is not None:
-                declared = int(declared)
+                try:
+                    declared = int(declared)
+                except ValueError:
+                    raise ValueError(
+                        f"{path}: unparsable CompressedDataSize "
+                        f"{declared!r}") from None
                 if declared > len(blob):
                     raise ValueError(
                         f"{path}: CompressedDataSize {declared} exceeds the "

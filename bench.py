@@ -121,13 +121,16 @@ def main() -> int:
     use_trained = (not args.random_weights and args.base_c == 48
                    and args.img_size == 512 and (syn / "weights.npz").exists())
     if use_trained:
-        import json as _json
-
         from att_aspp_unet_tpu.utils.npz_weights import load_npz_variables
         variables = load_npz_variables(syn / "weights.npz")
         thr_file = syn / "thr.json"
         if thr_file.exists():
-            trained_thr = float(_json.loads(thr_file.read_text())["best_thr"])
+            cal = json.loads(thr_file.read_text())
+            # pick the threshold calibrated for THIS run's TTA mode — a
+            # threshold tuned on hflip-TTA probability fields is off-point
+            # for the no-TTA deployment default (and vice versa)
+            key = "best_thr_tta" if args.tta else "best_thr_no_tta"
+            trained_thr = float(cal.get(key, cal["best_thr"]))
         print(f"[bench] trained synthetic weights, thr={trained_thr}",
               file=sys.stderr)
     else:
@@ -214,7 +217,10 @@ def main() -> int:
         t0 = time.time()
         handles = [engine.predict_case_submit(sweep, thr)
                    for _ in range(n_disp)]
-        jax.block_until_ready(handles[-1][:2])
+        # forced scalar readback, not bare block_until_ready (CLAUDE.md:
+        # the latter can return early through the tunnel); the device queue
+        # is FIFO, so reading the LAST handle waits for every sweep
+        float(jnp.sum(handles[-1][0].astype(jnp.int32)))
         disp = (time.time() - t0) / n_disp
         disp_fps = args.frames / disp
         for h in handles:

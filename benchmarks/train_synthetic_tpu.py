@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--base-c", type=int, default=48)
     ap.add_argument("--seed", type=int, default=2025)
+    ap.add_argument("--calibrate-only", action="store_true",
+                    help="skip training; recalibrate thresholds from the "
+                         "shipped resources/synthetic/weights.npz")
     args = ap.parse_args()
 
     import jax
@@ -80,20 +83,31 @@ def main() -> int:
     va_ds = ArrayDataset(va_x, va_y, (va_y.max(axis=(1, 2)) > 0))
 
     OUT.mkdir(parents=True, exist_ok=True)
-    res = fit(cfg, tr_ds, va_ds, OUT, resume=False)
-    print(f"[train-syn] best val Dice {res['best_dice']:.4f} after "
-          f"{res['epochs_run']} epochs", file=sys.stderr)
+    if args.calibrate_only:
+        from att_aspp_unet_tpu.utils.npz_weights import load_npz_variables
+        variables = load_npz_variables(OUT / "weights.npz")
+        # keep the training-run provenance from the prior summary — a
+        # recalibration must not clobber the trained val Dice with NaN
+        prior = json.loads((OUT / "summary.json").read_text()) \
+            if (OUT / "summary.json").exists() else {}
+        res = {"best_dice": prior.get("best_val_dice", -1.0),
+               "epochs_run": prior.get("epochs_run", 0)}
+    else:
+        res = fit(cfg, tr_ds, va_ds, OUT, resume=False)
+        print(f"[train-syn] best val Dice {res['best_dice']:.4f} after "
+              f"{res['epochs_run']} epochs", file=sys.stderr)
 
-    # restore the best checkpoint and export compact weights
-    state = create_train_state(cfg.model, cfg.train, steps_per_epoch=1,
-                               rng=jax.random.PRNGKey(0), sample_hw=(S, S))
-    state, extra = load_checkpoint(Path(res["best_path"]), state)
-    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+        # restore the best checkpoint and export compact weights
+        state = create_train_state(cfg.model, cfg.train, steps_per_epoch=1,
+                                   rng=jax.random.PRNGKey(0),
+                                   sample_hw=(S, S))
+        state, extra = load_checkpoint(Path(res["best_path"]), state)
+        from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
 
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
-    # float16 storage: 42 MB vs 120 MB f32; the forward runs bf16 anyway
-    save_npz_variables(variables, OUT / "weights.npz")
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        # float16 storage: 42 MB vs 120 MB f32; the forward runs bf16 anyway
+        save_npz_variables(variables, OUT / "weights.npz")
 
     # calibrate the threshold through the real path (batched val programs)
     import tempfile
@@ -108,20 +122,34 @@ def main() -> int:
             write_gray_png(vd / "images" / f"v{i:03d}.png", va_x[i])
             write_gray_png(vd / "masks" / f"v{i:03d}.png", va_y[i])
         import dataclasses
-        ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
-            cfg.predict, tta_hflip=True))   # reference calibrate used TTA
-        out = calibrate(ccfg, variables, vd, OUT)
+        # calibrate BOTH TTA modes: the reference calibrate used hflip TTA
+        # (…stage.py:384-392) while the deployment/bench default runs
+        # without TTA — each mode needs the threshold tuned for ITS
+        # probability field (a TTA-calibrated thr applied to a no-TTA field
+        # is off its operating point)
+        out = {}
+        for tag, tta in (("tta", True), ("no_tta", False)):
+            ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+                cfg.predict, tta_hflip=tta))
+            out[tag] = calibrate(ccfg, variables, vd, OUT)
 
+    write_json(OUT / "thr.json", {
+        "best_thr": out["tta"]["best_thr"],        # reference-parity value
+        "best_thr_tta": out["tta"]["best_thr"],
+        "best_thr_no_tta": out["no_tta"]["best_thr"],
+    }, indent=2)
     write_json(OUT / "summary.json", {
         "best_val_dice": res["best_dice"],
         "epochs_run": res["epochs_run"],
-        "best_thr": out["best_thr"],
-        "best_thr_mean_dice": float(np.max(out["mean_dice"])),
+        "best_thr": out["tta"]["best_thr"],
+        "best_thr_no_tta": out["no_tta"]["best_thr"],
+        "best_thr_mean_dice": float(np.max(out["tta"]["mean_dice"])),
         "img_size": S, "base_c": args.base_c,
         "n_train": args.n_train, "n_val": args.n_val,
     }, indent=2)
     print(json.dumps({"best_val_dice": res["best_dice"],
-                      "best_thr": out["best_thr"]}))
+                      "best_thr": out["tta"]["best_thr"],
+                      "best_thr_no_tta": out["no_tta"]["best_thr"]}))
     return 0
 
 

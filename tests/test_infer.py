@@ -332,10 +332,10 @@ def test_candidate_rank_counts_ring_interiors():
 
 
 def test_candidate_rank_does_not_inflate_speckle():
-    """The opposite failure mode: k scattered threshold-noise pixels must
-    rank near k (their raw area), not 16k (one quarter-res cell each) —
-    otherwise speckle-heavy frames outrank the true best frame and push it
-    out of the candidate set."""
+    """The opposite failure mode: scattered threshold-noise pixels whose
+    gaps exceed the close kernel must rank near their raw area, not 16×
+    (one quarter-res cell each) — otherwise speckle-heavy frames outrank
+    the true best frame and push it out of the candidate set."""
     import jax.numpy as jnp
 
     from att_aspp_unet_tpu.infer.engine import candidate_rank_areas
@@ -343,15 +343,65 @@ def test_candidate_rank_does_not_inflate_speckle():
     H = W = 120
     rng = np.random.default_rng(3)
     speckle = np.zeros((H, W), np.uint8)
-    ys, xs = rng.integers(0, H, 200), rng.integers(0, W, 200)
-    speckle[ys, xs] = 1                     # ≤200 isolated pixels
+    # jittered grid, ≥9-px spacing: the 7×7 close cannot bridge any pair,
+    # so the TRUE refined area of this frame is its raw count (then 0 after
+    # min-area removal) — exactly the pattern that must not inflate
+    for gy in range(4, H - 4, 12):
+        for gx in range(4, W - 4, 12):
+            speckle[gy + int(rng.integers(-1, 2)),
+                    gx + int(rng.integers(-1, 2))] = 1
     yy, xx = np.mgrid[:H, :W]
-    disk = (((yy - 60) ** 2 + (xx - 60) ** 2) <= 18 ** 2).astype(np.uint8)
+    disk = (((yy - 60) ** 2 + (xx - 60) ** 2) <= 12 ** 2).astype(np.uint8)
     assert disk.sum() > speckle.sum() * 4   # refined: disk clearly bigger
 
     areas = np.asarray(candidate_rank_areas(jnp.asarray(
         np.stack([speckle, disk]))))
     assert areas[1] > areas[0]              # disk must out-rank speckle
-    # speckle key stays near its raw area (dense noise may enclose a few
-    # accidental quarter-res holes; allow a small slack, not 16×)
+    # speckle key stays near its raw area, not 16×
     assert areas[0] < 4 * speckle.sum()
+
+
+def test_candidate_rank_never_under_ranks_refined_area():
+    """The candidate cut's safety invariant: key ≥ ~refined area for EVERY
+    mask shape, so the reference's refined-area top-k can never lose a
+    member to the proxy (over-ranking junk is absorbed by
+    ``refine_margin``; under-ranking a true winner would silently change
+    the selected frame).  Exercises the pathologies each design iteration
+    tripped on: ring interiors (fill gain), connected thin webs whose
+    close+fill solidifies them from a small raw count (round-3 review),
+    dense disconnected dither (refines to ZERO — min-area CC runs before
+    the close), sparse speckle, and a plain blob.  Ground truth is the
+    real ``refine_mask``."""
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.infer.engine import candidate_rank_areas
+    from att_aspp_unet_tpu.postprocess import refine_mask
+
+    H = W = 120
+    yy, xx = np.mgrid[:H, :W]
+    r2 = (yy - 60) ** 2 + (xx - 60) ** 2
+
+    ring = ((r2 <= 40 ** 2) & (r2 >= 38 ** 2)).astype(np.uint8)
+    web = np.zeros((H, W), np.uint8)        # connected 1-px grid, 5-px mesh
+    web[20:100:6, 20:100] = 1
+    web[20:100, 20:100:6] = 1
+    web[99, 20:100] = 1
+    web[20:100, 99] = 1
+    dither = np.zeros((H, W), np.uint8)     # isolated dots, 3-px gaps
+    dither[20:100:4, 20:100:4] = 1
+    blob = (r2 <= 25 ** 2).astype(np.uint8)
+
+    stack = np.stack([ring, web, dither, blob])
+    refined = np.asarray(refine_mask(jnp.asarray(stack))).sum((-2, -1))
+    keys = np.asarray(candidate_rank_areas(jnp.asarray(stack)))
+
+    # the web's refined area is ~3× its raw count (close+fill solidify it)
+    assert refined[1] > 2.5 * stack[1].sum()
+    # disconnected dither dies in refine (every component < min_area)
+    assert refined[2] == 0
+    # invariant: no shape's key may fall below ~its refined area
+    assert (keys >= 0.9 * refined).all(), (keys, refined)
+    # and the two frames with large refined areas out-rank the raw-bigger
+    # blob the way refined areas order them
+    assert keys[0] > keys[3] and keys[1] > keys[3]
+    assert refined[0] > refined[3] and refined[1] > refined[3]

@@ -293,6 +293,24 @@ def test_graceful_errors(tmp_path, rng):
     with pytest.raises(ValueError, match="ElementType"):
         read_mha(p)
 
+    # ASCII token outside the element type's range (numpy 2.x raises
+    # OverflowError internally — must surface as the path-prefixed ValueError)
+    p = variant("overflow.mha",
+                "ObjectType = Image\nNDims = 3\nDimSize = 2 1 1\n"
+                "BinaryData = False\nElementType = MET_UCHAR\n"
+                "ElementDataFile = LOCAL\n", b"1 300\n")
+    with pytest.raises(ValueError, match="ASCII"):
+        read_mha(p)
+
+    # unparsable CompressedDataSize value
+    p = variant("badcds.mha",
+                "ObjectType = Image\nNDims = 3\nCompressedData = True\n"
+                "CompressedDataSize = twelve\nDimSize = 4 4 2\n"
+                "ElementType = MET_UCHAR\nElementDataFile = LOCAL\n",
+                b"\x00" * 16)
+    with pytest.raises(ValueError, match="CompressedDataSize"):
+        read_mha(p)
+
     # header line without '='
     p = variant("noeq.mha", "ObjectType = Image\njunk line\n")
     with pytest.raises(ValueError, match="malformed"):
