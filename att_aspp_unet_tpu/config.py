@@ -55,6 +55,11 @@ class ModelConfig:
     # 'matmul' lowers the dilated branches as nine shifted MXU matmuls
     # (identical parameters & math; see nn.blocks.DilatedConv3x3Matmul)
     aspp_impl: str = "matmul"
+    # 3×3 conv lowering: 'direct' (default — fastest measured in-graph);
+    # 'w2d' force width-packing (exact math, only pays stage-resident —
+    # see nn/w2d.py autopsy); 'auto' = w2d on TPU where isolated-conv
+    # profitable (measured SLOWER in-graph; kept for experimentation)
+    conv_lowering: str = "direct"
     # rematerialise encoder/decoder stages in the backward pass (trade FLOPs
     # for activation memory — enables much larger global batches)
     remat: bool = False
@@ -96,6 +101,9 @@ class PlainUNetConfig:
     tile_batch: int = 16             # patch tiles per forward micro-batch
                                      # (bounds activation HBM; a full sweep's
                                      # tiles at once needs >16 GB)
+    # 3×3 stride-1 conv lowering: 'direct' (default); 'w2d' forces
+    # width-packing (exact math, only pays stage-resident — nn/w2d.py)
+    conv_lowering: str = "direct"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 

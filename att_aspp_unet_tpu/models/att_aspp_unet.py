@@ -35,6 +35,7 @@ class AttentionASPPUNet(nn.Module):
     aspp_rates: Tuple[int, ...] = (6, 12, 18)
     aspp_dropout: float = 0.1
     aspp_impl: str = "matmul"
+    conv_lowering: str = "direct"
     remat: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -47,6 +48,7 @@ class AttentionASPPUNet(nn.Module):
             att_depth=cfg.att_depth, gate_variant=cfg.gate_variant,
             aspp_rates=tuple(cfg.aspp_rates), aspp_dropout=cfg.aspp_dropout,
             aspp_impl=getattr(cfg, "aspp_impl", "matmul"),
+            conv_lowering=getattr(cfg, "conv_lowering", "direct"),
             remat=getattr(cfg, "remat", False),
             dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
         )
@@ -85,8 +87,10 @@ class AttentionASPPUNet(nn.Module):
             CBR, UP, BRIDGE = ConvBNReLU, UpBlock, ASPP
 
         def enc(h, feats, name):
-            h = CBR(feats, name=f"{name}_0", **kw)(h, train)
-            return CBR(feats, name=f"{name}_1", **kw)(h, train)
+            h = CBR(feats, lowering=self.conv_lowering,
+                    name=f"{name}_0", **kw)(h, train)
+            return CBR(feats, lowering=self.conv_lowering,
+                       name=f"{name}_1", **kw)(h, train)
 
         x1 = enc(x, c, "d1")
         x2 = enc(nn.max_pool(x1, (2, 2), (2, 2)), c * 2, "d2")
@@ -99,12 +103,14 @@ class AttentionASPPUNet(nn.Module):
                        dropout=self.aspp_dropout, impl=self.aspp_impl,
                        name="bridge", **kw)(hb, train)
         else:
-            b = CBR(c * 16, name="bridge_conv", **kw)(hb, train)
+            b = CBR(c * 16, lowering=self.conv_lowering,
+                    name="bridge_conv", **kw)(hb, train)
             b = nn.Dropout(self.aspp_dropout, deterministic=not train)(b)
 
         def up(level, feats, g, skip):
             return UP(feats, use_att=self._gated(level),
                       gate_variant=self.gate_variant,
+                      lowering=self.conv_lowering,
                       name=f"u{level}", **kw)(g, skip, train)
 
         d4, psi3 = up(4, c * 8, b, x4)

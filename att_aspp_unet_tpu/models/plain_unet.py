@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import PlainUNetConfig
+from ..nn.blocks import Conv3x3
 
 
 class _InstanceNorm(nn.Module):
@@ -47,14 +48,24 @@ class _InstanceNorm(nn.Module):
 class _ConvINLReLU(nn.Module):
     features: int
     stride: int = 1
+    lowering: str = "direct"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=True, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv")(x)
+        if self.stride == 1:
+            # selectable TPU lowering (w2d width-packing for the
+            # lane-underfilled 32-channel stages — nn/w2d.py); param names
+            # match nn.Conv so checkpoints are identical
+            x = Conv3x3(self.features, lowering=self.lowering,
+                        use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=1, use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv")(x)
         x = _InstanceNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                           name="norm")(x)
         return nn.leaky_relu(x, negative_slope=0.01)
@@ -67,6 +78,7 @@ class PlainConvUNet(nn.Module):
     max_c: int = 512
     n_stages: int = 7
     conv_per_stage: int = 2
+    conv_lowering: str = "direct"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -75,6 +87,7 @@ class PlainConvUNet(nn.Module):
         return cls(in_channels=cfg.in_channels, num_classes=cfg.num_classes,
                    base_c=cfg.base_c, max_c=cfg.max_c, n_stages=cfg.n_stages,
                    conv_per_stage=cfg.conv_per_stage,
+                   conv_lowering=getattr(cfg, "conv_lowering", "direct"),
                    dtype=jnp.dtype(cfg.compute_dtype),
                    param_dtype=jnp.dtype(cfg.param_dtype))
 
@@ -94,6 +107,7 @@ class PlainConvUNet(nn.Module):
             for c in range(self.conv_per_stage):
                 stride = 2 if (s > 0 and c == 0) else 1
                 x = _ConvINLReLU(feats, stride=stride,
+                                 lowering=self.conv_lowering,
                                  name=f"enc{s}_{c}", **kw)(x)
             skips.append(x)
 
@@ -104,7 +118,8 @@ class PlainConvUNet(nn.Module):
                                  name=f"up{s}", **kw)(x)
             x = jnp.concatenate([x, skips[s]], axis=-1)
             for c in range(self.conv_per_stage):
-                x = _ConvINLReLU(feats, name=f"dec{s}_{c}", **kw)(x)
+                x = _ConvINLReLU(feats, lowering=self.conv_lowering,
+                                 name=f"dec{s}_{c}", **kw)(x)
 
         logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                          dtype=self.dtype, param_dtype=self.param_dtype,

@@ -37,6 +37,51 @@ def _resize_bilinear_nhwc(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
                             antialias=False)
 
 
+class Conv3x3(nn.Module):
+    """3×3 stride-1 SAME conv, no bias, with a selectable TPU lowering.
+
+    Parameter layout (``kernel``: (3, 3, Cin, features) HWIO under this
+    module's scope) is identical to ``nn.Conv``'s, so checkpoints are
+    interchangeable between lowerings.  ``lowering``:
+
+    - ``"direct"`` — plain ``lax.conv_general_dilated`` (what ``nn.Conv``
+      emits);
+    - ``"w2d"`` — force the width-to-depth packed conv (exact same math,
+      see :mod:`..nn.w2d` — measured SLOWER as a per-conv drop-in; only
+      pays stage-resident);
+    - ``"auto"`` — w2d on TPU when the isolated-conv shape is in the
+      measured win region (probe r15c); experimentation only.
+    """
+
+    features: int
+    lowering: str = "direct"
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from .w2d import conv3x3_w2d, resolve_w2d
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), self.param_dtype)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if resolve_w2d(self.lowering, x.shape, 3, cin, self.features):
+            y = conv3x3_w2d(x, k)
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvBNReLU(nn.Module):
     """Conv(k, pad k//2, no bias) → BatchNorm → ReLU.
 
@@ -45,15 +90,21 @@ class ConvBNReLU(nn.Module):
 
     features: int
     kernel: int = 3
+    lowering: str = "direct"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    padding=self.kernel // 2, use_bias=False,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="conv")(x)
+        if self.kernel == 3:
+            x = Conv3x3(self.features, lowering=self.lowering,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding=self.kernel // 2, use_bias=False,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="bn")(x)
@@ -229,6 +280,7 @@ class UpBlock(nn.Module):
     features: int
     use_att: bool = True
     gate_variant: str = "v1"
+    lowering: str = "direct"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -253,8 +305,10 @@ class UpBlock(nn.Module):
                                          name="att")(g, x, train)
 
         h = jnp.concatenate([x, g], axis=-1)
-        h = ConvBNReLU(self.features, dtype=self.dtype,
+        h = ConvBNReLU(self.features, lowering=self.lowering,
+                       dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv0")(h, train)
-        h = ConvBNReLU(self.features, dtype=self.dtype,
+        h = ConvBNReLU(self.features, lowering=self.lowering,
+                       dtype=self.dtype,
                        param_dtype=self.param_dtype, name="conv1")(h, train)
         return h, psi
