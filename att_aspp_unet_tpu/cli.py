@@ -27,6 +27,9 @@ def _base_config(args) -> "Config":
         use_aspp=not getattr(args, "no_aspp", False),
         att_depth=getattr(args, "att_depth", 4),
         gate_variant=getattr(args, "gate", "v1"),
+        # serving-only PTQ path (nn/quant.py); only the predict/container
+        # parsers expose the flag
+        conv_lowering="int8" if getattr(args, "int8", False) else "direct",
     )
     loss = LossConfig(edge_weight=getattr(args, "edge_w", 0.05),
                       neg_bce_weight=getattr(args, "neg_bce_w", 0.05))
@@ -324,6 +327,10 @@ def get_parser() -> argparse.ArgumentParser:
     pr.add_argument("--no-tta", action="store_true",
                     help="disable hflip TTA (the reference predict CLI "
                          "used TTA, 2x faster without)")
+    pr.add_argument("--int8", action="store_true",
+                    help="serve the forward on the int8 MXU path "
+                         "(post-training quantization, auto-calibrated; "
+                         "nn/quant.py)")
     model_flags(pr)
     pr.set_defaults(fn=cmd_predict)
 
@@ -338,6 +345,9 @@ def get_parser() -> argparse.ArgumentParser:
                     "model architecture")
     ic.add_argument("--dataset-json", help="nnU-Net dataset.json "
                     "(num_classes / in_channels)")
+    ic.add_argument("--int8", action="store_true",
+                    help="att_aspp tag: serve the forward on the int8 MXU "
+                         "path (post-training quantization, nn/quant.py)")
     model_flags(ic)
     ic.set_defaults(fn=cmd_infer_container)
 

@@ -55,10 +55,13 @@ class ModelConfig:
     # 'matmul' lowers the dilated branches as nine shifted MXU matmuls
     # (identical parameters & math; see nn.blocks.DilatedConv3x3Matmul)
     aspp_impl: str = "matmul"
-    # 3×3 conv lowering: 'direct' (default — fastest measured in-graph);
+    # 3×3 conv lowering: 'direct' (default — fastest exact path in-graph);
     # 'w2d' force width-packing (exact math, only pays stage-resident —
     # see nn/w2d.py autopsy); 'auto' = w2d on TPU where isolated-conv
-    # profitable (measured SLOWER in-graph; kept for experimentation)
+    # profitable (measured SLOWER in-graph; kept for experimentation);
+    # 'int8' post-training-quantized serving convs on the int8 MXU path
+    # (per-out-channel weights, absmax-calibrated activations —
+    # nn/quant.py; the engine auto-calibrates on its first sweep)
     conv_lowering: str = "direct"
     # rematerialise encoder/decoder stages in the backward pass (trade FLOPs
     # for activation memory — enables much larger global batches)
@@ -206,6 +209,10 @@ class PredictConfig:
     fast_forward: object = False
     roi_size: int = 224              # ROI deployment path (model_attention_aspp.py)
     subsample_frames: int = 128      # linspace subsample in the ROI path
+    quant_calib_frames: int = 16     # frames used for int8 PTQ activation
+                                     # absmax calibration (conv_lowering
+                                     # 'int8'; evenly spaced over the first
+                                     # sweep the engine sees)
 
 
 @dataclass(frozen=True)

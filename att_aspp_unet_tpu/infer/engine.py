@@ -95,6 +95,19 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
     return gaussian_blur(native, gauss_k, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "img_size", "clahe_clip", "clahe_grid", "median_kernel"))
+def _quant_calib_impl(apply_fn, variables, frames, img_size, clahe_clip,
+                      clahe_grid, median_kernel):
+    """One preprocessed forward in ``int8_calib`` lowering; returns the
+    recorded per-conv-site activation absmax tree (collection ``quant``,
+    see ``nn/quant.py``)."""
+    x = preprocess_sweep(frames, img_size, clahe_clip, clahe_grid,
+                         median_kernel)[..., None]
+    _, updated = apply_fn(variables, x)
+    return updated["quant"]
+
+
 def candidate_rank_areas(binary: jax.Array,
                          close_kernel: int = 7) -> jax.Array:
     """(N, H, W) 0/1 → (N,) rank key ≈ the area each frame would have AFTER
@@ -253,7 +266,40 @@ class AttAsppEngine:
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
         self._nval_cache: Dict[int, jax.Array] = {}
+        if self.model.conv_lowering == "int8" and "quant" in variables:
+            # caller supplied pre-calibrated activation scales
+            self.variables["quant"] = jax.device_put(variables["quant"])
         self._maybe_enable_fast_forward()
+
+    def _ensure_quant(self, sweep: np.ndarray) -> None:
+        """Lazy PTQ activation calibration (``conv_lowering="int8"``).
+
+        Records per-conv absmax over ``quant_calib_frames`` evenly spaced
+        frames of the first sweep this engine sees (one extra dispatch per
+        engine lifetime), then serves every sweep through the int8 MXU
+        path.  Callers wanting reproducible scales across runs pass a
+        ``quant`` collection to ``__init__`` instead."""
+        if self.model.conv_lowering != "int8" or "quant" in self.variables:
+            return
+        p = self.cfg.preprocess
+        k = min(getattr(self.cfg.predict, "quant_calib_frames", 16),
+                sweep.shape[0])
+        idx = np.linspace(0, sweep.shape[0] - 1, k).astype(int)
+        calib_model = self.model.clone(conv_lowering="int8_calib")
+        calib_apply = functools.partial(calib_model.apply, train=False,
+                                        mutable=["quant"])
+        calib_vars = {k2: v for k2, v in self.variables.items()
+                      if k2 in ("params", "batch_stats")}
+        quant = _quant_calib_impl(
+            calib_apply, calib_vars, jnp.asarray(np.asarray(sweep)[idx]),
+            p.img_size, p.clahe_clip, p.clahe_grid, p.median_kernel)
+        self.variables = dict(self.variables)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            self.variables["quant"] = jax.device_put(
+                quant, replicate(self.mesh))
+        else:
+            self.variables["quant"] = jax.device_put(quant)
 
     def _maybe_enable_fast_forward(self):
         """Swap in the packed BN-folded forward (fused Pallas conv pairs,
@@ -264,6 +310,8 @@ class AttAsppEngine:
         mesh the pallas_call would have to be shard_mapped — both stay on
         the flax path.
         """
+        if self.model.conv_lowering in ("int8", "int8_calib"):
+            return  # the packed plan has no quantized path
         mode = getattr(self.cfg.predict, "fast_forward", "auto")
         if mode == "auto":
             n_mesh = 1 if self.mesh is None else self.mesh.size
@@ -301,6 +349,7 @@ class AttAsppEngine:
         must pass a config with ``predict.tta_hflip=True``; the predict
         CLI does this itself."""
         p = self.cfg.preprocess
+        self._ensure_quant(sweep)
         staged, pad = self._stage_frames(sweep)
         out = _predict_full_impl(
             self._apply, self.variables, staged, p.img_size,
@@ -362,6 +411,7 @@ class AttAsppEngine:
         n, H, W = sweep.shape
         m = max(1, min(pc.topk_frames + pc.refine_margin, n))
 
+        self._ensure_quant(sweep)
         staged, pad = self._stage_frames(sweep)
         # n_valid is a TRACED operand (one compile per padded shape bucket,
         # not per frame count) staged once per distinct n so repeat calls
@@ -405,6 +455,7 @@ class AttAsppEngine:
         p = self.cfg.preprocess
         pc = self.cfg.predict
         n = sweep.shape[0]
+        self._ensure_quant(sweep)
         idxs = np.linspace(0, n - 1, min(pc.subsample_frames, n)).astype(int)
         staged, pad = self._stage_frames(np.asarray(sweep)[idxs])
         out = _predict_roi_impl(

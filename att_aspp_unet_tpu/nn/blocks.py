@@ -50,7 +50,14 @@ class Conv3x3(nn.Module):
       see :mod:`..nn.w2d` — measured SLOWER as a per-conv drop-in; only
       pays stage-resident);
     - ``"auto"`` — w2d on TPU when the isolated-conv shape is in the
-      measured win region (probe r15c); experimentation only.
+      measured win region (probe r15c); experimentation only;
+    - ``"int8"`` — post-training-quantized serving conv (per-out-channel
+      int8 weights, per-tensor int8 activations; :mod:`..nn.quant`).
+      Requires a calibrated ``quant`` variable collection — run one
+      forward in ``"int8_calib"`` lowering with ``mutable=["quant"]``
+      first (the inference engine does this automatically);
+    - ``"int8_calib"`` — the direct bf16 conv, additionally recording the
+      running activation absmax for ``"int8"`` into collection ``quant``.
     """
 
     features: int
@@ -61,6 +68,7 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from .quant import int8_conv3x3, int8_conv3x3_pre
         from .w2d import conv3x3_w2d, resolve_w2d
 
         cin = x.shape[-1]
@@ -68,9 +76,31 @@ class Conv3x3(nn.Module):
                             (3, 3, cin, self.features), self.param_dtype)
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
-        if resolve_w2d(self.lowering, x.shape, 3, cin, self.features):
+        if self.lowering in ("int8", "int8_calib"):
+            amax = self.variable("quant", "act_absmax",
+                                 lambda: jnp.zeros((), jnp.float32))
+        if self.lowering == "int8":
+            s_x = jnp.maximum(amax.value, 1e-6) / 127.0
+            if kernel.dtype == jnp.int8:
+                # engine pre-quantized the kernel outside jit
+                # (nn/quant.py::prequantize_params)
+                ws = self.variable(
+                    "quant", "w_scale",
+                    lambda: jnp.ones((self.features,), jnp.float32))
+                y = int8_conv3x3_pre(x, kernel, ws.value, s_x)
+            else:
+                y = int8_conv3x3(x, kernel, s_x)
+            y = y.astype(self.dtype)
+        elif (self.lowering != "int8_calib"
+              and resolve_w2d(self.lowering, x.shape, 3, cin,
+                              self.features)):
             y = conv3x3_w2d(x, k)
         else:
+            if (self.lowering == "int8_calib"
+                    and self.is_mutable_collection("quant")
+                    and not self.is_initializing()):
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
             y = jax.lax.conv_general_dilated(

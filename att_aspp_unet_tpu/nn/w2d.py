@@ -108,7 +108,9 @@ def resolve_w2d(lowering: str, x_shape: Sequence[int], kernel: int,
     - ``"auto"``: structurally valid AND profitable AND running on TPU
       (on CPU/GPU backends the packed conv is pure FLOP inflation).
     """
-    if lowering == "direct" or not w2d_structural(x_shape, kernel, stride):
+    if lowering != "auto" and lowering != "w2d":
+        return False
+    if not w2d_structural(x_shape, kernel, stride):
         return False
     if lowering == "w2d":
         return True

@@ -69,6 +69,10 @@ def main() -> int:
                          "128-frame linspace subsample, 224-square "
                          "centroid crop, forward, paste-back, "
                          "postprocess, frame select")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the forward through the int8 MXU path "
+                         "(post-training quantization, nn/quant.py; the "
+                         "engine absmax-calibrates on the benched sweep)")
     ap.add_argument("--random-weights", action="store_true",
                     help="force random init + percentile threshold even if "
                          "trained synthetic weights are present")
@@ -103,7 +107,8 @@ def main() -> int:
 
     cfg = Config(
         preprocess=PreprocessConfig(img_size=args.img_size),
-        model=ModelConfig(base_c=args.base_c),
+        model=ModelConfig(base_c=args.base_c,
+                          conv_lowering="int8" if args.int8 else "direct"),
         predict=PredictConfig(frame_batch=args.batch,
                               tta_hflip=bool(args.tta)),
     )
