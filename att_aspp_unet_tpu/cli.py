@@ -70,6 +70,10 @@ def load_variables(weights: Path, cfg, img_size: int = 64,
         from .models import AttentionASPPUNet
         model = AttentionASPPUNet.from_config(cfg.model)
         in_ch = cfg.model.in_channels
+    if getattr(model, "conv_lowering", "direct") == "int8":
+        # the param template doesn't need the quantized path (uncalibrated
+        # int8 would compile a throwaway program); shapes are identical
+        model = model.clone(conv_lowering="direct")
     init = model.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, img_size, img_size, in_ch)),
                       train=False)

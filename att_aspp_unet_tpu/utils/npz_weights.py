@@ -16,27 +16,35 @@ import numpy as np
 
 
 def save_npz_variables(variables: Dict, path) -> None:
+    """params/batch_stats leaves store as f16; any other collection (e.g.
+    the int8-PTQ ``quant`` calibration scales) keeps its exact dtype so a
+    calibrated deployment reproduces bit-identically across runs."""
     import jax
 
     flat = {}
-    for tree_name in ("params", "batch_stats"):
-        leaves = jax.tree_util.tree_flatten_with_path(
-            variables.get(tree_name, {}))[0]
+    for tree_name, tree in variables.items():
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        narrow = tree_name in ("params", "batch_stats")
         for path_t, leaf in leaves:
             key = tree_name + "/" + "/".join(
                 getattr(p, "key", str(p)) for p in path_t)
-            flat[key] = np.asarray(leaf, np.float16)
+            flat[key] = (np.asarray(leaf, np.float16) if narrow
+                         else np.asarray(leaf))
     np.savez_compressed(path, **flat)
 
 
 def load_npz_variables(path) -> Dict:
-    """Rebuild {"params": nested, "batch_stats": nested} (float32 leaves)."""
+    """Rebuild the nested collections; params/batch_stats leaves widen to
+    float32, other collections (``quant``, …) keep their stored dtype."""
     out: Dict = {"params": {}, "batch_stats": {}}
     with np.load(Path(path)) as z:
         for key in z.files:
             parts = key.split("/")
-            node = out[parts[0]]
+            node = out.setdefault(parts[0], {})
             for p in parts[1:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = z[key].astype(np.float32)
+            leaf = z[key]
+            if parts[0] in ("params", "batch_stats"):
+                leaf = leaf.astype(np.float32)
+            node[parts[-1]] = leaf
     return out

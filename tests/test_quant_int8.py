@@ -203,3 +203,54 @@ def test_prequantized_kernels_bit_identical(rng):
         {"params": pq, "batch_stats": variables["batch_stats"],
          "quant": qt}, x, train=False)[0])
     np.testing.assert_array_equal(y_pre, y_ingraph)
+
+
+def test_quant_scales_npz_roundtrip(rng, tmp_path):
+    """Calibrated quant scales persist through the flat-npz archive so a
+    deployment reproduces bit-identically without recalibration."""
+    from att_aspp_unet_tpu.utils.npz_weights import (load_npz_variables,
+                                                     save_npz_variables)
+
+    base, qcfg = _cfgs()
+    model = AttentionASPPUNet.from_config(base.model)
+    variables = model.init(jax.random.PRNGKey(2),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    sweep = (rng.random((4, 40, 48)) * 200).astype(np.uint8)
+
+    eng = AttAsppEngine(qcfg, variables)
+    p1 = np.asarray(eng.predict_full(sweep))
+    path = tmp_path / "w.npz"
+    save_npz_variables(jax.device_get(eng.variables), path)
+
+    loaded = load_npz_variables(path)
+    assert "quant" in loaded
+    # scales stored exactly (f32), params narrowed to f16 as before
+    want = jax.device_get(eng.variables["quant"])
+    got_leaves = jax.tree_util.tree_leaves(loaded["quant"])
+    want_leaves = jax.tree_util.tree_leaves(want)
+    for g, w in zip(got_leaves, want_leaves):
+        np.testing.assert_array_equal(g, np.asarray(w))
+
+    eng2 = AttAsppEngine(qcfg, loaded)
+    assert "quant" in eng2.variables  # no recalibration needed
+    p2 = np.asarray(eng2.predict_full(sweep))
+    # params are f16-narrowed in the archive → probabilities close, and
+    # the quantized path uses the identical scales
+    assert np.abs(p1 - p2).max() < 0.02
+
+
+def test_engine_int8_roi_path(rng):
+    """The ROI (container) path also serves through the quantized convs."""
+    base, qcfg = _cfgs()
+    model = AttentionASPPUNet.from_config(base.model)
+    variables = model.init(jax.random.PRNGKey(1),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    sweep = (rng.random((9, 40, 48)) * 200).astype(np.uint8)
+
+    eng_d = AttAsppEngine(base, variables)
+    eng_q = AttAsppEngine(qcfg, variables)
+    p_d = np.asarray(eng_d.predict_roi(sweep))
+    p_q = np.asarray(eng_q.predict_roi(sweep))
+    assert "quant" in eng_q.variables
+    assert p_q.shape == p_d.shape
+    assert np.abs(p_q - p_d).mean() < 0.02
