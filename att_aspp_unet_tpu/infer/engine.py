@@ -285,13 +285,17 @@ class AttAsppEngine:
         k = min(getattr(self.cfg.predict, "quant_calib_frames", 16),
                 sweep.shape[0])
         idx = np.linspace(0, sweep.shape[0] - 1, k).astype(int)
+        # gather the calibration frames where the sweep lives — a device
+        # sweep must not round-trip through the host (~58 MB tunnel pull)
+        frames = (sweep[idx] if isinstance(sweep, np.ndarray)
+                  else jnp.asarray(sweep)[jnp.asarray(idx)])
         calib_model = self.model.clone(conv_lowering="int8_calib")
         calib_apply = functools.partial(calib_model.apply, train=False,
                                         mutable=["quant"])
         calib_vars = {k2: v for k2, v in self.variables.items()
                       if k2 in ("params", "batch_stats")}
         quant = _quant_calib_impl(
-            calib_apply, calib_vars, jnp.asarray(np.asarray(sweep)[idx]),
+            calib_apply, calib_vars, frames,
             p.img_size, p.clahe_clip, p.clahe_grid, p.median_kernel)
         self.variables = dict(self.variables)
         if self.mesh is not None:
