@@ -254,3 +254,12 @@ def test_engine_int8_roi_path(rng):
     assert "quant" in eng_q.variables
     assert p_q.shape == p_d.shape
     assert np.abs(p_q - p_d).mean() < 0.02
+
+
+def test_cli_int8_flag_reaches_model_config():
+    import argparse
+    from att_aspp_unet_tpu.cli import _base_config
+
+    ns = argparse.Namespace(int8=True)
+    assert _base_config(ns).model.conv_lowering == "int8"
+    assert _base_config(argparse.Namespace()).model.conv_lowering == "direct"
