@@ -76,7 +76,40 @@ def build(C: int, jnp, lax):
         n, h, w2, c = wmax.shape
         return wmax.reshape(n, h // 2, 2, w2, c).max(axis=2)
 
-    return d1_direct, d1_packed
+    # ---- u1 stage: concat(skip, upsampled) → conv(2C→C) → conv(C→C) ----
+    # In the packed plan both inputs arrive packed (skip from the packed
+    # d1, g emitted packed by the transposed conv), so the packed concat
+    # holds channel groups [skip_p0, skip_p1, g_p0, g_p1]·C and the conv0
+    # weight is the w2d packing of the (3,3,2C,C) kernel with its input
+    # channels permuted to match.
+
+    def u1_direct(skip, g, k0, a0, k1, a1, dt):
+        x = jnp.concatenate([skip, g], axis=-1).astype(dt)
+        y = affine(conv(x, k0.astype(dt)), *a0)
+        return affine(conv(y.astype(dt), k1.astype(dt)), *a1)
+
+    def u1_packed(sp, gp, k0, a0, k1, a1, dt):
+        """Inputs arrive PACKED (in the real plan upstream producers emit
+        packed); the concat's group order [s_p0, s_p1, g_p0, g_p1] is
+        absorbed into the kernel's input-channel permutation — free at
+        trace time, no activation shuffle."""
+        from att_aspp_unet_tpu.nn.w2d import w2d_pack_weight
+
+        xp = jnp.concatenate([sp, gp], axis=-1)
+        k0p = w2d_pack_weight(k0)  # (3,3,4C,2C); expects [s_p0,g_p0,s_p1,g_p1]
+        pk = np.concatenate([np.arange(0, C), np.arange(2 * C, 3 * C),
+                             np.arange(C, 2 * C), np.arange(3 * C, 4 * C)])
+        k0p = k0p[:, :, pk, :]     # consume [s_p0, s_p1, g_p0, g_p1]
+        s0 = jnp.concatenate([a0[0], a0[0]])
+        b0 = jnp.concatenate([a0[1], a0[1]])
+        s1 = jnp.concatenate([a1[0], a1[0]])
+        b1 = jnp.concatenate([a1[1], a1[1]])
+        y = affine(conv(xp.astype(dt), k0p.astype(dt)), s0, b0)
+        k1p = w2d_pack_weight(k1)
+        y = affine(conv(y.astype(dt), k1p.astype(dt)), s1, b1)
+        return y
+
+    return d1_direct, d1_packed, u1_direct, u1_packed
 
 
 def main() -> int:
@@ -106,7 +139,7 @@ def main() -> int:
     print(f"[r19] backend={jax.default_backend()} B={B} H={H} C={C}",
           file=sys.stderr)
 
-    d1_direct, d1_packed = build(C, jnp, lax)
+    d1_direct, d1_packed, u1_direct, u1_packed = build(C, jnp, lax)
     x = jnp.asarray(rng.random((B, H, H, 1)), jnp.float32)
     k0 = jnp.asarray(rng.standard_normal((3, 3, 1, C)) * 0.3, jnp.float32)
     k1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
@@ -114,16 +147,28 @@ def main() -> int:
           jnp.asarray(rng.random(C) - 0.5, jnp.float32))
     a1 = (jnp.asarray(rng.random(C) + 0.5, jnp.float32),
           jnp.asarray(rng.random(C) - 0.5, jnp.float32))
+    skip = jnp.asarray(rng.random((B, H, H, C)), jnp.float32)
+    gup = jnp.asarray(rng.random((B, H, H, C)), jnp.float32)
+    ku0 = jnp.asarray(rng.standard_normal((3, 3, 2 * C, C)) * 0.1,
+                      jnp.float32)
+    ku1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
 
     dt = jnp.float32 if args.cpu_check else jnp.bfloat16
     yd = np.asarray(jax.jit(lambda *t: d1_direct(*t, dt))(x, k0, a0, k1, a1))
     yp = np.asarray(jax.jit(lambda *t: d1_packed(*t, dt))(x, k0, a0, k1, a1))
     err = np.abs(yd - yp).max() / (np.abs(yd).max() + 1e-9)
-    print(f"[r19] exactness: rel max err {err:.2e} "
-          f"({'OK' if err < (1e-5 if dt == jnp.float32 else 2e-2) else 'FAIL'})",
-          file=sys.stderr)
+    sp = jnp.asarray(np.asarray(skip).reshape(B, H, H // 2, 2 * C))
+    gp = jnp.asarray(np.asarray(gup).reshape(B, H, H // 2, 2 * C))
+    ud = np.asarray(jax.jit(lambda *t: u1_direct(*t, dt))(
+        skip, gup, ku0, a0, ku1, a1))
+    up_ = np.asarray(jax.jit(lambda *t: u1_packed(*t, dt))(
+        sp, gp, ku0, a0, ku1, a1)).reshape(ud.shape)
+    erru = np.abs(ud - up_).max() / (np.abs(ud).max() + 1e-9)
+    tol = 1e-5 if dt == jnp.float32 else 2e-2
+    print(f"[r19] exactness d1 {err:.2e} u1 {erru:.2e} "
+          f"({'OK' if max(err, erru) < tol else 'FAIL'})", file=sys.stderr)
     if args.cpu_check:
-        return 0 if err < 1e-5 else 1
+        return 0 if max(err, erru) < 1e-5 else 1
 
     K = args.k
 
@@ -149,6 +194,15 @@ def main() -> int:
     tp = timed(loopK(d1_packed), x, k0, a0, k1, a1) / K
     print(f"[r19] d1 stage fresh-layout: direct {tb*1e3:7.2f} ms  packed "
           f"{tp*1e3:7.2f} ms  x{tb/tp:4.2f}", file=sys.stderr)
+
+    # u1: direct consumes (skip, g); packed consumes the packed pair —
+    # the loop perturbs only the first input, identical work both sides
+    tbu = timed(loopK(lambda a, *r: u1_direct(a, *r)),
+                skip, gup, ku0, a0, ku1, a1) / K
+    tpu = timed(loopK(lambda a, *r: u1_packed(a, *r)),
+                sp, gp, ku0, a0, ku1, a1) / K
+    print(f"[r19] u1 stage fresh-layout: direct {tbu*1e3:7.2f} ms  packed "
+          f"{tpu*1e3:7.2f} ms  x{tbu/tpu:4.2f}", file=sys.stderr)
     return 0
 
 
