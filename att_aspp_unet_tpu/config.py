@@ -61,7 +61,10 @@ class ModelConfig:
     # profitable (measured SLOWER in-graph; kept for experimentation);
     # 'int8' post-training-quantized serving convs on the int8 MXU path
     # (per-out-channel weights, absmax-calibrated activations —
-    # nn/quant.py; the engine auto-calibrates on its first sweep)
+    # nn/quant.py; the engine auto-calibrates on its first sweep);
+    # 'w2d_stage' width-packs the ENTIRE full-resolution level at serving
+    # time with zero relayouts (pack folds into the d1 input conv, unpack
+    # into the pool/logits — nn/packed_stage.py; exact, serving-only)
     conv_lowering: str = "direct"
     # rematerialise encoder/decoder stages in the backward pass (trade FLOPs
     # for activation memory — enables much larger global batches)

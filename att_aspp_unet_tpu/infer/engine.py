@@ -314,8 +314,8 @@ class AttAsppEngine:
         mesh the pallas_call would have to be shard_mapped — both stay on
         the flax path.
         """
-        if self.model.conv_lowering in ("int8", "int8_calib"):
-            return  # the packed plan has no quantized path
+        if self.model.conv_lowering in ("int8", "int8_calib", "w2d_stage"):
+            return  # the packed plan has no quantized/width-packed path
         mode = getattr(self.cfg.predict, "fast_forward", "auto")
         if mode == "auto":
             n_mesh = 1 if self.mesh is None else self.mesh.size

@@ -73,6 +73,18 @@ class AttentionASPPUNet(nn.Module):
         c = self.base_c
         x = x.astype(self.dtype)
 
+        # Width-packed full-resolution level (serving-only lowering; the
+        # packed modules declare parameters under the same names/shapes,
+        # so checkpoints are interchangeable — nn/packed_stage.py).
+        packed512 = self.conv_lowering == "w2d_stage"
+        if packed512:
+            if train:
+                raise ValueError(
+                    "conv_lowering='w2d_stage' is a serving lowering; "
+                    "BatchNorm runs as the folded inference affine")
+            if x.shape[2] % 2:
+                raise ValueError("w2d_stage needs an even input width")
+
         # jax.checkpoint on every stage: activations recompute in the
         # backward pass instead of living in HBM (SURVEY.md §0 "use remat to
         # trade FLOPs for memory"); param names are unchanged so checkpoints
@@ -86,14 +98,25 @@ class AttentionASPPUNet(nn.Module):
         else:
             CBR, UP, BRIDGE = ConvBNReLU, UpBlock, ASPP
 
+        # inner levels always run the direct lowering under w2d_stage
+        inner_lowering = "direct" if packed512 else self.conv_lowering
+
         def enc(h, feats, name):
-            h = CBR(feats, lowering=self.conv_lowering,
+            h = CBR(feats, lowering=inner_lowering,
                     name=f"{name}_0", **kw)(h, train)
-            return CBR(feats, lowering=self.conv_lowering,
+            return CBR(feats, lowering=inner_lowering,
                        name=f"{name}_1", **kw)(h, train)
 
-        x1 = enc(x, c, "d1")
-        x2 = enc(nn.max_pool(x1, (2, 2), (2, 2)), c * 2, "d2")
+        if packed512:
+            from ..nn.packed_stage import PackedCBR, packed_pool2
+
+            x1 = PackedCBR(c, io="in", name="d1_0", **kw)(x)
+            x1 = PackedCBR(c, io="both", name="d1_1", **kw)(x1)
+            x2_in = packed_pool2(x1)          # already the unpacked layout
+        else:
+            x1 = enc(x, c, "d1")
+            x2_in = nn.max_pool(x1, (2, 2), (2, 2))
+        x2 = enc(x2_in, c * 2, "d2")
         x3 = enc(nn.max_pool(x2, (2, 2), (2, 2)), c * 4, "d3")
         x4 = enc(nn.max_pool(x3, (2, 2), (2, 2)), c * 8, "d4")
         hb = nn.max_pool(x4, (2, 2), (2, 2))
@@ -110,17 +133,27 @@ class AttentionASPPUNet(nn.Module):
         def up(level, feats, g, skip):
             return UP(feats, use_att=self._gated(level),
                       gate_variant=self.gate_variant,
-                      lowering=self.conv_lowering,
+                      lowering=inner_lowering,
                       name=f"u{level}", **kw)(g, skip, train)
 
         d4, psi3 = up(4, c * 8, b, x4)
         d3, psi2 = up(3, c * 4, d4, x3)
         d2, psi1 = up(2, c * 2, d3, x2)
-        d1, psi0 = up(1, c, d2, x1)
 
-        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="out_conv")(d1)
+        if packed512:
+            from ..nn.packed_stage import (PackedPointwise, PackedUpBlock,
+                                           unpack_logits)
+
+            d1p = PackedUpBlock(c, name="u1", **kw)(d2, x1)
+            lp = PackedPointwise(self.num_classes, name="out_conv",
+                                 **kw)(d1p)
+            logits = unpack_logits(lp, self.num_classes)
+        else:
+            d1, psi0 = up(1, c, d2, x1)
+            logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                             dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="out_conv")(d1)
         logits = logits.astype(jnp.float32)
 
         psis: List[Optional[jax.Array]] = [psi3, psi2]

@@ -52,8 +52,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["w2d_pack_weight", "conv3x3_w2d", "w2d_profitable",
-           "w2d_structural"]
+__all__ = ["w2d_pack_weight", "w2d_pack_in_weight", "w2d_group_perm",
+           "conv3x3_w2d", "w2d_profitable", "w2d_structural"]
 
 
 def w2d_pack_weight(w: jax.Array) -> jax.Array:
@@ -67,6 +67,40 @@ def w2d_pack_weight(w: jax.Array) -> jax.Array:
     w2 = w2.at[:, 1, C:, Co:].set(w[:, 1])
     w2 = w2.at[:, 2, :C, Co:].set(w[:, 2])
     return w2
+
+
+def w2d_pack_in_weight(w: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) → (3, 4, Ci, 2Co): the PACK-EMITTING conv weight.
+
+    A stride-(1,2) conv with this width-4 kernel (padding 1 each side)
+    maps an UNPACKED input directly to the packed layout: output cell
+    (h, w', p·Co+co) is the original stride-1 SAME conv's output column
+    2w'+p.  Used at the d1 input conv, where packing costs nothing
+    because the conv computes into the packed layout to begin with.
+    Derivation: window cols are 2w'−1+e (e ∈ 0..3, left pad 1) and the
+    original tap dx = e−p−1, so W[:, p+j, :, p·Co+co] = w[:, j, :, co].
+    """
+    _, _, ci, co = w.shape
+    w4 = jnp.zeros((3, 4, ci, 2 * co), w.dtype)
+    for p in (0, 1):
+        for j in range(3):
+            w4 = w4.at[:, p + j, :, p * co:(p + 1) * co].add(w[:, j])
+    return w4
+
+
+def w2d_group_perm(c: int) -> "jax.Array":
+    """Input-channel permutation absorbing a packed concat into the
+    packed-conv kernel.
+
+    ``concat([a_packed, b_packed])`` carries groups [a_p0, a_p1, b_p0,
+    b_p1]·c, while :func:`w2d_pack_weight` of the logical (3,3,2c,·)
+    kernel expects [p0·(a,b), p1·(a,b)].  Indexing the packed kernel's
+    input axis with this permutation makes it consume the concat order
+    directly — free at trace time, no activation shuffle.
+    """
+    import numpy as np
+    return np.concatenate([np.arange(0, c), np.arange(2 * c, 3 * c),
+                           np.arange(c, 2 * c), np.arange(3 * c, 4 * c)])
 
 
 def conv3x3_w2d(x: jax.Array, w: jax.Array) -> jax.Array:

@@ -73,6 +73,10 @@ def main() -> int:
                     help="serve the forward through the int8 MXU path "
                          "(post-training quantization, nn/quant.py; the "
                          "engine absmax-calibrates on the benched sweep)")
+    ap.add_argument("--lowering", default=None,
+                    choices=["direct", "int8", "w2d_stage"],
+                    help="conv lowering for the serving forward "
+                         "(overrides --int8)")
     ap.add_argument("--random-weights", action="store_true",
                     help="force random init + percentile threshold even if "
                          "trained synthetic weights are present")
@@ -108,7 +112,9 @@ def main() -> int:
     cfg = Config(
         preprocess=PreprocessConfig(img_size=args.img_size),
         model=ModelConfig(base_c=args.base_c,
-                          conv_lowering="int8" if args.int8 else "direct"),
+                          conv_lowering=(args.lowering or
+                                         ("int8" if args.int8
+                                          else "direct"))),
         predict=PredictConfig(frame_batch=args.batch,
                               tta_hflip=bool(args.tta)),
     )
