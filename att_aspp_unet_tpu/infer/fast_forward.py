@@ -92,7 +92,11 @@ def pack_variables(model, variables) -> Dict[str, Any]:
     for lvl in (4, 3, 2, 1):
         up, us = p[f"u{lvl}"], s[f"u{lvl}"]
         blk = {
-            "up_k": jnp.asarray(up["up"]["kernel"], _BF),       # (2,2,Ci,Co)
+            # pre-flipped: flax ConvTranspose applies the spatially
+            # REVERSED kernel (lax.conv_transpose semantics; pinned by
+            # test_packed_stage.py::test_packed_transpose_matches_flax),
+            # while _up2's einsum indexes it forward
+            "up_k": jnp.asarray(up["up"]["kernel"][::-1, ::-1], _BF),
             "up_b": jnp.asarray(up["up"]["bias"], jnp.float32),
             "pair": [_pack_cbr(up[f"conv{i}"], us[f"conv{i}"])
                      for i in (0, 1)],

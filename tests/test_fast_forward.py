@@ -39,12 +39,15 @@ def test_fast_matches_flax(S, base_c):
     fast = ff.make_fast_apply(model, interpret=True)(plan, x)
 
     assert fast.shape == ref.shape
+    # tight logit tolerance: loose bounds here once masked a flipped
+    # up-conv kernel (pack_variables now pre-flips; the bound would
+    # admit it again at ~0.03 max err)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
-                               atol=0.08, rtol=0.05)
+                               atol=0.012, rtol=0.05)
     # the two paths agree on the actual deliverable: the probability map
     np.testing.assert_allclose(
         np.asarray(jax.nn.sigmoid(fast)), np.asarray(jax.nn.sigmoid(ref)),
-        atol=5e-3)
+        atol=3e-3)
 
 
 def test_fast_no_attention_variant():
