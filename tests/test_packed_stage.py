@@ -117,3 +117,27 @@ def test_engine_w2d_stage_matches_direct(rng):
     p_d = np.asarray(AttAsppEngine(base, variables).predict_full(sweep))
     p_p = np.asarray(AttAsppEngine(pcfg, variables).predict_full(sweep))
     np.testing.assert_allclose(p_p, p_d, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_w2d_stage_with_tta(rng):
+    import dataclasses
+
+    from att_aspp_unet_tpu.config import (Config, PredictConfig,
+                                          PreprocessConfig)
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+
+    base = Config(
+        preprocess=PreprocessConfig(img_size=64),
+        model=ModelConfig(base_c=8, compute_dtype="float32"),
+        predict=PredictConfig(frame_batch=4, tta_hflip=True),
+    )
+    pcfg = dataclasses.replace(
+        base, model=dataclasses.replace(base.model,
+                                        conv_lowering="w2d_stage"))
+    model = AttentionASPPUNet.from_config(base.model)
+    variables = model.init(jax.random.PRNGKey(4),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    sweep = (rng.random((3, 40, 48)) * 200).astype(np.uint8)
+    p_d = np.asarray(AttAsppEngine(base, variables).predict_full(sweep))
+    p_p = np.asarray(AttAsppEngine(pcfg, variables).predict_full(sweep))
+    np.testing.assert_allclose(p_p, p_d, rtol=1e-4, atol=1e-4)
