@@ -139,3 +139,31 @@ def test_sharded_predict_full_small_meshes(setup, rng, n_dev):
     got = np.asarray(AttAsppEngine(cfg, variables, mesh=mesh)
                      .predict_full(sweep))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_w2d_stage_matches_unsharded_direct(rng):
+    """The width-packed serving lowering composes with frame-axis sharding:
+    packing is per-frame, so a w2d_stage engine on the 8-device mesh must
+    reproduce the direct unsharded probabilities."""
+    import dataclasses
+
+    cfg = Config(
+        preprocess=PreprocessConfig(img_size=64),
+        model=ModelConfig(base_c=8, compute_dtype="float32"),
+        predict=PredictConfig(frame_batch=2),
+    )
+    model = AttentionASPPUNet.from_config(cfg.model)
+    variables = model.init(jax.random.PRNGKey(7),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    sweep = (rng.random((10, 40, 48)) * 200).astype(np.uint8)
+    sweep[4, 10:30, 10:38] = 250
+
+    ref = np.asarray(AttAsppEngine(cfg, variables).predict_full(sweep))
+
+    pcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       conv_lowering="w2d_stage"))
+    mesh = make_mesh(MeshConfig())
+    got = np.asarray(AttAsppEngine(pcfg, variables, mesh=mesh)
+                     .predict_full(sweep))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
