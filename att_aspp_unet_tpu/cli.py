@@ -21,6 +21,13 @@ def _base_config(args) -> "Config":
     from .config import (CalibrateConfig, Config, LossConfig, ModelConfig,
                          PredictConfig, TrainConfig)
 
+    if getattr(args, "deterministic", False):
+        # device-side compute is deterministic by default in XLA; this
+        # reseeds the host RNGs the data pipeline uses (the reference's
+        # opt-in cudnn-deterministic mode, test_ablation.py:45-69)
+        from .utils.seeding import set_seed
+        set_seed(getattr(args, "seed", 2025))
+
     model = ModelConfig(
         base_c=getattr(args, "base_c", 48),
         use_att=not getattr(args, "no_att", False),
@@ -31,7 +38,9 @@ def _base_config(args) -> "Config":
         # parsers expose the flag
         conv_lowering="int8" if getattr(args, "int8", False) else "direct",
     )
-    loss = LossConfig(edge_weight=getattr(args, "edge_w", 0.05),
+    loss = LossConfig(edge_weight=(0.0 if getattr(args, "no_edge_loss",
+                                                  False)
+                                   else getattr(args, "edge_w", 0.05)),
                       neg_bce_weight=getattr(args, "neg_bce_w", 0.05))
     train = TrainConfig(
         seed=getattr(args, "seed", 2025),
@@ -161,12 +170,22 @@ def cmd_predict(args) -> int:
     cfg = _with_tta(_base_config(args), args)
     variables = load_variables(Path(args.weights), cfg,
                                cfg.preprocess.img_size)
+    noatt = None
+    if getattr(args, "weights_noatt", None):
+        # the reference builds the comparison model gate-free with
+        # att_depth 0 but the same width/ASPP (test_ablation.py:800-802)
+        na_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_att=False, att_depth=0))
+        noatt = (na_cfg, load_variables(Path(args.weights_noatt), na_cfg,
+                                        cfg.preprocess.img_size))
     predict_directory(cfg, variables, Path(args.input_dir), Path(args.out_dir),
                       spacing_json=Path(args.spacing_json)
                       if args.spacing_json else None,
                       threshold=args.thr,
                       slice_metrics=args.slice_metrics,
-                      topk_viz=args.topk_viz)
+                      topk_viz=args.topk_viz,
+                      viz_att=getattr(args, "viz_att", False),
+                      noatt=noatt)
     return 0
 
 
@@ -291,6 +310,10 @@ def get_parser() -> argparse.ArgumentParser:
         q.add_argument("--no_aspp", action="store_true")
         q.add_argument("--att_depth", type=int, default=4)
         q.add_argument("--gate", choices=["v1", "v2"], default="v1")
+        # reference ablation CLI flag (test_ablation.py:894); device-side
+        # determinism is the JAX default (utils/seeding.py) so this only
+        # reseeds the host RNGs — accepted for drop-in compatibility
+        q.add_argument("--deterministic", action="store_true")
 
     t = sp.add_parser("train")
     t.add_argument("--stage", choices=["main", "finetune"], default="main")
@@ -304,6 +327,9 @@ def get_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch_size", type=int, default=8)
     t.add_argument("--lr", type=float, default=3e-4)
     t.add_argument("--edge_w", type=float, default=0.05)
+    t.add_argument("--no_edge_loss", action="store_true",
+                   help="drop the Sobel edge-loss term (reference ablation "
+                        "flag, test_ablation.py:895; same as --edge_w 0)")
     t.add_argument("--neg_bce_w", type=float, default=0.05)
     t.add_argument("--differential_lr", action="store_true")
     model_flags(t)
@@ -335,6 +361,13 @@ def get_parser() -> argparse.ArgumentParser:
                     help="serve the forward on the int8 MXU path "
                          "(post-training quantization, auto-calibrated; "
                          "nn/quant.py)")
+    pr.add_argument("--viz_att", action="store_true",
+                    help="write per-PNG attention panels (raw | prob | "
+                         "mean psi | mask) to <out>/panels "
+                         "(reference test_ablation.py:832-842)")
+    pr.add_argument("--weights_noatt",
+                    help="no-attention checkpoint for the panel's second "
+                         "row (--viz_att)")
     model_flags(pr)
     pr.set_defaults(fn=cmd_predict)
 

@@ -97,6 +97,32 @@ def _predict_full_impl(apply_fn, variables, sweep, img_size, clahe_clip,
 
 @functools.partial(jax.jit, static_argnames=(
     "apply_fn", "img_size", "clahe_clip", "clahe_grid", "median_kernel"))
+def _psi_map_impl(apply_fn, variables, frames, img_size, clahe_clip,
+                  clahe_grid, median_kernel):
+    """(N, H, W) raw frames → (N, H, W) mean attention-ψ map at native
+    resolution.
+
+    The reference's ``--viz_att`` predict path (``test_ablation.py:823-828``)
+    bilinearly upsamples every gate's ψ to the model input size, means the
+    stack, and resizes to the frame; one jitted program here.  Gates that
+    are off contribute nothing; with no gates at all the map is zero.
+    """
+    x = preprocess_sweep(frames, img_size, clahe_clip, clahe_grid,
+                         median_kernel)[..., None]
+    out = apply_fn(variables, x)
+    psis = out[1] if isinstance(out, tuple) else []
+    maps = [resize_bilinear(p[..., 0].astype(jnp.float32),
+                            (img_size, img_size))
+            for p in psis if p is not None]
+    if maps:
+        psi = sum(maps) / len(maps)
+    else:
+        psi = jnp.zeros((frames.shape[0], img_size, img_size), jnp.float32)
+    return resize_bilinear(psi, frames.shape[-2:])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "img_size", "clahe_clip", "clahe_grid", "median_kernel"))
 def _quant_calib_impl(apply_fn, variables, frames, img_size, clahe_clip,
                       clahe_grid, median_kernel):
     """One preprocessed forward in ``int8_calib`` lowering; returns the
@@ -327,6 +353,9 @@ class AttAsppEngine:
         from . import fast_forward as _ff
         if not (_ff.supports(self.model) and self.variables["batch_stats"]):
             return
+        # keep the flax-layout tree for paths that bypass the packed plan
+        # (psi_sweep's diagnostic forward)
+        self._flax_variables = self.variables
         plan = _ff.pack_variables(self.model, self.variables)
         if self.mesh is not None:
             from ..parallel.mesh import replicate
@@ -361,6 +390,22 @@ class AttAsppEngine:
             self.cfg.predict.frame_batch, self.cfg.predict.tta_hflip,
             self.cfg.predict.gaussian_kernel)
         return out[: out.shape[0] - pad] if pad else out
+
+    def psi_sweep(self, sweep: np.ndarray) -> np.ndarray:
+        """(N, H, W) raw frames → (N, H, W) mean attention-ψ maps (the
+        ``--viz_att`` diagnostic, reference ``test_ablation.py:823-828``).
+
+        Uses the flax forward directly (the packed ``fast_forward`` plan
+        does not thread ψ), so it works for any lowering the model's
+        ``apply`` supports."""
+        p = self.cfg.preprocess
+        self._ensure_quant(sweep)
+        flax_vars = getattr(self, "_flax_variables", self.variables)
+        out = _psi_map_impl(
+            functools.partial(self.model.apply, train=False),
+            flax_vars, jnp.asarray(sweep), p.img_size,
+            p.clahe_clip, p.clahe_grid, p.median_kernel)
+        return np.asarray(out)
 
     def refine(self, probs: jax.Array, threshold: Optional[float] = None
                ) -> jax.Array:

@@ -72,11 +72,20 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
                       out_dir: Path, spacing_json: Optional[Path] = None,
                       threshold: Optional[float] = None,
                       slice_metrics: bool = False, topk_viz: bool = False,
+                      viz_att: bool = False,
+                      noatt: Optional[Tuple[Config, dict]] = None,
                       log=print) -> List[Tuple[str, int, float]]:
     """``slice_metrics``/``topk_viz``: per-slice area+circularity CSV and the
     top-K candidate sheet of the ablation predict variant
-    (``test_ablation.py:763-880``)."""
+    (``test_ablation.py:763-880``).
+
+    ``viz_att``: for PNG inputs, write a 2×4 attention panel per image to
+    ``<out>/panels`` — raw, probability, mean ψ, refined mask on the top
+    row; the same from an optional no-attention model (``noatt`` =
+    (config, variables), the reference's ``--weights_noatt``) below
+    (``test_ablation.py:832-842``)."""
     engine = AttAsppEngine(cfg, variables)
+    noatt_engine = AttAsppEngine(*noatt) if noatt is not None else None
     thr = threshold if threshold is not None else load_threshold(cfg, log=log)
 
     spacing_map = {}
@@ -117,6 +126,30 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
             probs = engine.predict_full(sl[None])
             mask = np.asarray(engine.refine(probs, thr))[0]
             write_gray_png(out_dir / f"{p.stem}_mask.png", mask * 255)
+
+            if viz_att:
+                import jax.numpy as jnp
+                from ..evals.panels import save_attention_panel
+                from ..ops.image import minmax_normalize_u8
+
+                raw_u8 = np.asarray(
+                    minmax_normalize_u8(jnp.asarray(sl[None])))[0]
+                prob_att = np.asarray(probs)[0]
+                # ψ only exists for gated models (the reference zeroes the
+                # panel cell under --no_att, test_ablation.py:836)
+                psi = (engine.psi_sweep(sl[None])[0] if cfg.model.use_att
+                       else np.zeros_like(prob_att))
+                if noatt_engine is not None:
+                    prob_na = np.asarray(noatt_engine.predict_full(sl[None]))
+                    mask_na = np.asarray(
+                        noatt_engine.refine(prob_na, thr))[0]
+                    prob_na = prob_na[0]
+                else:
+                    prob_na = np.zeros_like(prob_att)
+                    mask_na = np.zeros_like(mask)
+                save_attention_panel(p.stem, raw_u8, prob_att, psi,
+                                     mask * 255, prob_na, mask_na * 255,
+                                     out_dir / "panels")
 
             case_id, frame_idx = split_case_frame(p.stem)
             sp = spacing_from_map(spacing_map, case_id)

@@ -301,6 +301,29 @@ def test_cli_parser_subcommands():
     assert args.model_tag == "att_aspp"
 
 
+def test_cli_reference_ablation_flags():
+    """The reference ablation CLI's flag set parses and reaches the config
+    (test_ablation.py:894-903): --no_edge_loss, --deterministic,
+    --viz_att, --weights_noatt."""
+    from att_aspp_unet_tpu.cli import _base_config, get_parser
+
+    p = get_parser()
+    args = p.parse_args(["train", "--train_dir", "x", "--no_edge_loss",
+                         "--deterministic"])
+    assert args.no_edge_loss and args.deterministic
+    assert _base_config(args).train.loss.edge_weight == 0.0
+    args = p.parse_args(["train", "--train_dir", "x", "--edge_w", "0.1"])
+    assert _base_config(args).train.loss.edge_weight == 0.1
+
+    args = p.parse_args(["predict", "--weights", "w", "--input_dir", "i",
+                         "--viz_att", "--weights_noatt", "na",
+                         "--deterministic"])
+    assert args.viz_att and args.weights_noatt == "na"
+    args = p.parse_args(["calibrate", "--weights", "w", "--val_dir", "v",
+                         "--deterministic"])
+    assert args.deterministic
+
+
 def test_cli_leak_check_end_to_end(tmp_path, monkeypatch):
     from att_aspp_unet_tpu.cli import main
 

@@ -405,3 +405,56 @@ def test_candidate_rank_never_under_ranks_refined_area():
     # blob the way refined areas order them
     assert keys[0] > keys[3] and keys[1] > keys[3]
     assert refined[0] > refined[3] and refined[1] > refined[3]
+
+
+def test_predict_directory_viz_att_panels(tiny_att, tmp_path, rng):
+    """--viz_att writes a 2x4 panel per PNG (reference
+    test_ablation.py:832-842); with a --weights_noatt companion model the
+    second row carries its probabilities instead of zeros."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    img = (rng.random((40, 48)) * 255).astype(np.uint8)
+    img[10:30, 10:38] = 250
+    write_gray_png(in_dir / "caseV_s1.png", img)
+
+    na_cfg = dc.replace(cfg, model=dc.replace(cfg.model, use_att=False,
+                                              att_depth=0))
+    na_model = AttentionASPPUNet.from_config(na_cfg.model)
+    na_vars = na_model.init(jax.random.PRNGKey(1),
+                            np.zeros((1, 64, 64, 1), np.float32),
+                            train=False)
+
+    predict_directory(cfg, variables, in_dir, tmp_path / "out",
+                      threshold=0.5, viz_att=True, noatt=(na_cfg, na_vars),
+                      log=lambda *a: None)
+    panel = tmp_path / "out/panels/caseV_s1_panel.png"
+    assert panel.exists()
+    from att_aspp_unet_tpu.io import read_gray_png as _rd
+    from PIL import Image
+    arr = np.asarray(Image.open(panel))
+    assert arr.shape[0] == 2 * 40 and arr.shape[1] == 4 * 48
+
+
+def test_engine_psi_sweep_shapes(tiny_att, rng):
+    """psi_sweep returns native-resolution maps; gate-free models give
+    all-zero maps (the reference zeroes the panel cell, :836)."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 3)
+    eng = AttAsppEngine(cfg, variables)
+    psi = eng.psi_sweep(sweep)
+    assert psi.shape == sweep.shape and psi.dtype == np.float32
+    assert np.isfinite(psi).all()
+    # ungated model: psis are all None -> zero maps
+    na_cfg = dc.replace(cfg, model=dc.replace(cfg.model, use_att=False,
+                                              att_depth=0))
+    na_model = AttentionASPPUNet.from_config(na_cfg.model)
+    na_vars = na_model.init(jax.random.PRNGKey(2),
+                            np.zeros((1, 64, 64, 1), np.float32),
+                            train=False)
+    psi0 = AttAsppEngine(na_cfg, na_vars).psi_sweep(sweep)
+    assert np.all(psi0 == 0)
