@@ -51,7 +51,8 @@ def _base_config(args) -> "Config":
         differential_lr=getattr(args, "differential_lr", False),
         loss=loss,
     )
-    return Config(model=model, train=train)
+    predict = PredictConfig(cascade=getattr(args, "cascade", False))
+    return Config(model=model, train=train, predict=predict)
 
 
 def load_variables(weights: Path, cfg, img_size: int = 64,
@@ -361,6 +362,10 @@ def get_parser() -> argparse.ArgumentParser:
                     help="serve the forward on the int8 MXU path "
                          "(post-training quantization, auto-calibrated; "
                          "nn/quant.py)")
+    pr.add_argument("--cascade", action="store_true",
+                    help="two-tier sweep serving: scout all frames at "
+                         "half resolution, full-res forward only on the "
+                         "top candidates (infer/engine.py cascade path)")
     pr.add_argument("--viz_att", action="store_true",
                     help="write per-PNG attention panels (raw | prob | "
                          "mean psi | mask) to <out>/panels "

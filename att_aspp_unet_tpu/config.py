@@ -216,6 +216,18 @@ class PredictConfig:
                                      # absmax calibration (conv_lowering
                                      # 'int8'; evenly spaced over the first
                                      # sweep the engine sees)
+    # Two-tier cascade serving (predict_case only, opt-in): scout every
+    # frame with a cheap low-resolution forward, then run the full
+    # img_size forward only on the cascade_scouts highest-ranked frames.
+    # The final candidate ranking / refine / select run on full-res
+    # probabilities exactly as in the direct path — the only deviation is
+    # that a frame outside the scout set cannot be picked (margin:
+    # scouts ≫ topk+refine_margin).  Philosophically the reference's own
+    # deployment path cuts harder (128-frame subsample + 224² crop,
+    # model_attention_aspp.py:45-55); this keeps every frame in play.
+    cascade: bool = False
+    cascade_img_size: int = 256      # scout forward resolution (1/4 FLOPs)
+    cascade_scouts: int = 32         # frames promoted to the full forward
 
 
 @dataclass(frozen=True)

@@ -219,6 +219,64 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
     return cand_idx, _packbits_w(refined[..., :H, :W])
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
+    "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
+    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw"))
+def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
+                               low_size, clahe_clip, clahe_grid,
+                               median_kernel, batch, tta, gauss_k, threshold,
+                               n_scout, n_cand, min_area_px, min_area_frac,
+                               close_kernel, bucket_hw):
+    """Two-tier predict_case: scout ALL frames at ``low_size`` (1/4 the
+    FLOPs at the default half resolution), promote the ``n_scout``
+    best-ranked to the full ``img_size`` forward, then rank / refine /
+    select exactly as the direct path does — one device program.
+
+    The forward is ~80 % of the direct path's device time and candidate
+    selection only ever consults the top ``n_cand ≪ N`` frames, so paying
+    full resolution for every frame buys nothing the scout margin doesn't
+    keep.  Enhancement (CLAHE + median) runs ONCE at native resolution and
+    feeds both tiers — semantics preserved (the reference enhances before
+    its resize, ``…stage.py:492-494``).  Scouting never uses TTA; the
+    promoted frames honour the configured ``tta``.
+    """
+    from ..postprocess.refine import _refine_mask_padded
+
+    u8 = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
+    xf = u8.astype(jnp.float32)
+    n = sweep.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- tier 1: low-res scout over every frame ----
+    x_lo = resize_bilinear(xf, (low_size, low_size)) / 255.0
+    probs_lo = predict_sweep_probs(apply_fn, variables, x_lo, batch,
+                                   hflip=False)
+    binary_lo = (probs_lo > threshold).astype(jnp.uint8)
+    areas_lo = candidate_rank_areas(binary_lo, close_kernel)
+    areas_lo = jnp.where(idx < n_valid, areas_lo, -1)
+    scout_idx = jnp.lexsort((-idx, -areas_lo))[:n_scout]
+
+    # ---- tier 2: full-res forward on the promoted frames only ----
+    x_hi = resize_bilinear(xf[scout_idx], (img_size, img_size)) / 255.0
+    probs_hi = predict_sweep_probs(apply_fn, variables, x_hi, batch, tta)
+    native = resize_bilinear(probs_hi, sweep.shape[-2:])
+    probs = gaussian_blur(native, gauss_k, 0.0)
+    binary = (probs > threshold).astype(jnp.uint8)
+    areas = candidate_rank_areas(binary, close_kernel)
+    areas = jnp.where(scout_idx < n_valid, areas, -1)
+    # reference tie-break: equal areas prefer the higher ORIGINAL index
+    local = jnp.lexsort((-scout_idx, -areas))[:n_cand]
+    cand_idx = scout_idx[local]
+    cand = binary[local]
+    H, W = binary.shape[-2], binary.shape[-1]
+    hb, wb = bucket_hw
+    padded = jnp.pad(cand, ((0, 0), (0, hb - H), (0, wb - W)))
+    refined = _refine_mask_padded(padded, jnp.asarray([H, W], jnp.int32),
+                                  min_area_px, min_area_frac, close_kernel)
+    return cand_idx, _packbits_w(refined[..., :H, :W])
+
+
 def _packbits_w(m: jax.Array) -> jax.Array:
     """(…, W) uint8 0/1 → (…, ceil(W/8)) uint8, np.unpackbits bit order."""
     W = m.shape[-1]
@@ -469,6 +527,15 @@ class AttAsppEngine:
         if nv is None:
             nv = self._nval_cache.setdefault(
                 n, jax.device_put(np.int32(n)))
+        if getattr(pc, "cascade", False):
+            n_scout = max(m, min(pc.cascade_scouts, staged.shape[0]))
+            cand_idx, refined = _predict_case_cascade_impl(
+                self._apply, self.variables, staged, nv, p.img_size,
+                pc.cascade_img_size, p.clahe_clip, p.clahe_grid,
+                p.median_kernel, pc.frame_batch, pc.tta_hflip,
+                pc.gaussian_kernel, float(thr), n_scout, m, pc.min_area_px,
+                pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))
+            return cand_idx, refined, W
         cand_idx, refined = _predict_case_impl(
             self._apply, self.variables, staged, nv, p.img_size,
             p.clahe_clip, p.clahe_grid, p.median_kernel, pc.frame_batch,

@@ -118,6 +118,12 @@ def main() -> int:
     ap.add_argument("--random-weights", action="store_true",
                     help="force random init + percentile threshold even if "
                          "trained synthetic weights are present")
+    ap.add_argument("--cascade", action="store_true",
+                    help="two-tier serving: scout all frames at half "
+                         "resolution, full forward only on the top "
+                         "candidates (PredictConfig.cascade)")
+    ap.add_argument("--cascade-scouts", type=int, default=32)
+    ap.add_argument("--cascade-size", type=int, default=256)
     args = ap.parse_args()
     # per-mode default: one 140-frame sweep, or one full 840-frame case for
     # the ROI container path
@@ -156,7 +162,10 @@ def main() -> int:
                                          ("int8" if args.int8
                                           else "direct"))),
         predict=PredictConfig(frame_batch=args.batch,
-                              tta_hflip=bool(args.tta)),
+                              tta_hflip=bool(args.tta),
+                              cascade=bool(args.cascade),
+                              cascade_img_size=args.cascade_size,
+                              cascade_scouts=args.cascade_scouts),
     )
     model = AttentionASPPUNet.from_config(cfg.model)
     rng = np.random.default_rng(0)

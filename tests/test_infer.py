@@ -458,3 +458,44 @@ def test_engine_psi_sweep_shapes(tiny_att, rng):
                             train=False)
     psi0 = AttAsppEngine(na_cfg, na_vars).psi_sweep(sweep)
     assert np.all(psi0 == 0)
+
+
+def test_predict_case_cascade_scouts_all_matches_direct(tiny_att, rng):
+    """With every frame promoted (scouts >= n) the cascade is the direct
+    path with an extra scout pass: frame pick, refined mask and AC must be
+    IDENTICAL (the full-res ranking sees the same candidate set)."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 6)
+    sweep[3, 8:32, 10:40] = 250          # a dominant blob
+    eng_d = AttAsppEngine(cfg, variables)
+    f_d, m_d, ac_d = eng_d.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=6))
+    eng_c = AttAsppEngine(ccfg, variables)
+    f_c, m_c, ac_c = eng_c.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    assert f_c == f_d
+    np.testing.assert_array_equal(m_c, m_d)
+    np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
+
+
+def test_predict_case_cascade_subset_contract(tiny_att, rng):
+    """scouts < n: the output contract holds (valid frame, native-res
+    mask, finite-or-nan AC) and the scout clamp keeps at least
+    topk+refine_margin candidates in play."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 8)
+    sweep[5, 8:32, 10:40] = 250
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=3))
+    eng = AttAsppEngine(ccfg, variables)
+    f, m, ac = eng.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    assert 0 <= f < 8
+    assert m.shape == sweep.shape[1:]
+    assert set(np.unique(m)).issubset({0, 1})
+    assert np.isnan(ac) or np.isfinite(ac)

@@ -167,3 +167,24 @@ def test_sharded_w2d_stage_matches_unsharded_direct(rng):
     got = np.asarray(AttAsppEngine(pcfg, variables, mesh=mesh)
                      .predict_full(sweep))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_cascade_matches_unsharded_direct(setup, rng):
+    """The cascade's scout-gather crosses shard boundaries; with scouts
+    >= n it must still reproduce the unsharded direct predict_case."""
+    import dataclasses
+
+    cfg, variables = setup
+    sweep = (rng.random((16, 24, 28)) * 255).astype(np.uint8)
+    sweep[9, 4:20, 4:24] = 250
+    f_ref, m_ref, ac_ref = AttAsppEngine(cfg, variables).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+
+    ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, cascade=True, cascade_img_size=16, cascade_scouts=16))
+    mesh = make_mesh(MeshConfig())
+    f, m, ac = AttAsppEngine(ccfg, variables, mesh=mesh).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+    assert f == f_ref
+    np.testing.assert_array_equal(m, m_ref)
+    np.testing.assert_allclose(ac, ac_ref, rtol=1e-5, equal_nan=True)
