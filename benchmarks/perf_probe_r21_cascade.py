@@ -1,0 +1,126 @@
+"""Probe r21 — cascade serving A/B on the production path.
+
+Direct vs cascade (scout 256², promote 32) predict_case on trained
+weights, one process (NOTES.md compile-caching rule).  Reports per mode:
+dispatch-only s/sweep, sequential median, and OUTPUT AGREEMENT (frame
+pick + AC) across several distinct synthetic sweeps — the cascade's only
+permitted deviation is an unpromoted frame winning, which agreement
+checks directly on realistic content.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=140)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--agree-sweeps", type=int, default=4)
+    ap.add_argument("--scouts", type=int, default=32)
+    ap.add_argument("--low", type=int, default=256)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from att_aspp_unet_tpu.config import Config, ModelConfig, \
+        PredictConfig, PreprocessConfig
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+    from att_aspp_unet_tpu.models import AttentionASPPUNet
+    from att_aspp_unet_tpu.tools.synthetic import make_sweep
+    from att_aspp_unet_tpu.utils.npz_weights import load_npz_variables
+
+    print(f"[r21] backend={jax.default_backend()}", file=sys.stderr)
+    root = Path(__file__).resolve().parent.parent
+    syn = root / "resources" / "synthetic"
+    variables = load_npz_variables(syn / "weights.npz")
+    cal = json.loads((syn / "thr.json").read_text())
+    thr = float(cal.get("best_thr_no_tta", cal["best_thr"]))
+
+    cfg = Config(
+        preprocess=PreprocessConfig(img_size=512),
+        model=ModelConfig(base_c=48),
+        predict=PredictConfig(frame_batch=args.batch, tta_hflip=False),
+    )
+    ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, cascade=True, cascade_img_size=args.low,
+        cascade_scouts=args.scouts))
+    model = AttentionASPPUNet.from_config(cfg.model)
+
+    sweeps = []
+    for s in range(args.agree_sweeps):
+        host, _, _ = make_sweep(args.frames, 562, 744, seed=s)
+        sweeps.append(jax.device_put(host))
+    for sw in sweeps:
+        sw.block_until_ready()
+
+    results = {}
+    outputs = {}
+    for name, c in (("direct", cfg), ("cascade", ccfg)):
+        engine = AttAsppEngine(c, variables, model=model)
+        t0 = time.time()
+        outs = [engine.predict_case(sw, (0.28, 0.28), threshold=thr)
+                for sw in sweeps]
+        outputs[name] = [(int(f), float(ac)) for f, _, ac in outs]
+        print(f"[r21] {name}: compile+{args.agree_sweeps} sweeps "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+        sweep = sweeps[0]
+        n_disp = 2 * args.iters
+        t0 = time.time()
+        handles = [engine.predict_case_submit(sweep, thr)
+                   for _ in range(n_disp)]
+        float(jnp.sum(handles[-1][0].astype(jnp.int32)))
+        disp = (time.time() - t0) / n_disp
+        for h in handles:
+            engine.predict_case_collect(h, (0.28, 0.28))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            engine.predict_case_collect(
+                engine.predict_case_submit(sweep, thr), (0.28, 0.28))
+            ts.append(time.time() - t0)
+        seq = sorted(ts)[len(ts) // 2]
+        print(f"[r21] {name}: dispatch-only {disp:.3f} s/sweep "
+              f"({args.frames/disp:.1f} f/s)  sequential {seq:.3f} "
+              f"({args.frames/seq:.1f} f/s)", file=sys.stderr)
+        results[name] = dict(disp=disp, seq=seq)
+
+    agree = [outputs["direct"][i][0] == outputs["cascade"][i][0]
+             for i in range(args.agree_sweeps)]
+    d_ac = [abs(outputs["direct"][i][1] - outputs["cascade"][i][1])
+            for i in range(args.agree_sweeps)]
+    print(f"[r21] frame agreement {sum(agree)}/{len(agree)}  "
+          f"|dAC| max {max(d_ac):.3f} mm  "
+          f"(direct={outputs['direct']}, cascade={outputs['cascade']})",
+          file=sys.stderr)
+    d, c = results["direct"], results["cascade"]
+    print(f"[r21] SUMMARY disp x{d['disp']/c['disp']:.2f}  "
+          f"seq x{d['seq']/c['seq']:.2f} (>1 = cascade wins)",
+          file=sys.stderr)
+    print(json.dumps({"probe": "r21",
+                      **{f"{k}_{m}": round(v, 4) for k, r in results.items()
+                         for m, v in r.items()},
+                      "frame_agree": sum(agree), "n_sweeps": len(agree),
+                      "max_dac_mm": round(max(d_ac), 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
