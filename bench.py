@@ -324,6 +324,11 @@ def main() -> int:
         line["mode"] = f"pipelined_depth{max(1, args.pipeline)}"
         line["sequential_fps"] = round(seq_fps, 1)
         line["dispatch_only_fps"] = round(disp_fps, 1)
+        if args.cascade:
+            # not the reference-semantics path — never conflate its rate
+            # with the direct headline
+            line["cascade"] = {"scouts": args.cascade_scouts,
+                               "low_size": args.cascade_size}
     print(json.dumps(line))
     return 0
 
