@@ -28,7 +28,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--agree-sweeps", type=int, default=4)
     ap.add_argument("--scouts", type=int, default=32)
-    ap.add_argument("--low", type=int, default=256)
+    ap.add_argument("--lows", default="256,192",
+                    help="comma list of scout resolutions to A/B")
     args = ap.parse_args()
 
     import dataclasses
