@@ -59,9 +59,13 @@ def main() -> int:
         model=ModelConfig(base_c=48),
         predict=PredictConfig(frame_batch=args.batch, tta_hflip=False),
     )
-    ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
-        cfg.predict, cascade=True, cascade_img_size=args.low,
-        cascade_scouts=args.scouts))
+    lows = [int(s) for s in args.lows.split(",") if s]
+    variants = [("direct", cfg)]
+    for low in lows:
+        variants.append((f"cascade{low}", dataclasses.replace(
+            cfg, predict=dataclasses.replace(
+                cfg.predict, cascade=True, cascade_img_size=low,
+                cascade_scouts=args.scouts))))
     model = AttentionASPPUNet.from_config(cfg.model)
 
     sweeps = []
@@ -73,7 +77,7 @@ def main() -> int:
 
     results = {}
     outputs = {}
-    for name, c in (("direct", cfg), ("cascade", ccfg)):
+    for name, c in variants:
         engine = AttAsppEngine(c, variables, model=model)
         t0 = time.time()
         outs = [engine.predict_case(sw, (0.28, 0.28), threshold=thr)
@@ -103,23 +107,26 @@ def main() -> int:
               f"({args.frames/seq:.1f} f/s)", file=sys.stderr)
         results[name] = dict(disp=disp, seq=seq)
 
-    agree = [outputs["direct"][i][0] == outputs["cascade"][i][0]
-             for i in range(args.agree_sweeps)]
-    d_ac = [abs(outputs["direct"][i][1] - outputs["cascade"][i][1])
-            for i in range(args.agree_sweeps)]
-    print(f"[r21] frame agreement {sum(agree)}/{len(agree)}  "
-          f"|dAC| max {max(d_ac):.3f} mm  "
-          f"(direct={outputs['direct']}, cascade={outputs['cascade']})",
-          file=sys.stderr)
-    d, c = results["direct"], results["cascade"]
-    print(f"[r21] SUMMARY disp x{d['disp']/c['disp']:.2f}  "
-          f"seq x{d['seq']/c['seq']:.2f} (>1 = cascade wins)",
-          file=sys.stderr)
-    print(json.dumps({"probe": "r21",
-                      **{f"{k}_{m}": round(v, 4) for k, r in results.items()
-                         for m, v in r.items()},
-                      "frame_agree": sum(agree), "n_sweeps": len(agree),
-                      "max_dac_mm": round(max(d_ac), 4)}))
+    line = {"probe": "r21",
+            **{f"{k}_{m}": round(v, 4) for k, r in results.items()
+               for m, v in r.items()}}
+    d = results["direct"]
+    for name, _ in variants[1:]:
+        agree = [outputs["direct"][i][0] == outputs[name][i][0]
+                 for i in range(args.agree_sweeps)]
+        d_ac = [abs(outputs["direct"][i][1] - outputs[name][i][1])
+                for i in range(args.agree_sweeps)]
+        c = results[name]
+        print(f"[r21] {name}: frame agreement {sum(agree)}/{len(agree)}  "
+              f"|dAC| max {max(d_ac):.3f} mm  disp x{d['disp']/c['disp']:.2f}"
+              f"  seq x{d['seq']/c['seq']:.2f} (>1 = cascade wins)",
+              file=sys.stderr)
+        line[f"{name}_frame_agree"] = sum(agree)
+        line[f"{name}_max_dac_mm"] = round(max(d_ac), 4)
+    print(f"[r21] picks: "
+          f"{ {k: v for k, v in outputs.items()} }", file=sys.stderr)
+    line["n_sweeps"] = args.agree_sweeps
+    print(json.dumps(line))
     return 0
 
 
