@@ -188,3 +188,79 @@ def test_cascade_matches_reference_pipeline(shared_weights, rng):
     assert int(f) == f_ref
     np.testing.assert_array_equal(np.asarray(m) > 0, m_ref > 0)
     assert ac == pytest.approx(ac_ref, rel=0.15)
+
+
+def _oracle_roi_path(tm, sweep, roi, nsub):
+    """The reference container ROI path (`model_attention_aspp.py:11-97`):
+    enhance volume → linspace subsample → intensity-centroid roi² crop →
+    sigmoid forward → paste back → thr 0.05 → max-area frame → 3×3 dilate
+    → largest CC → (mask2d, frame) with the −1/empty contract."""
+    stack = []
+    for sl in sweep:
+        sl_u8 = cv2.normalize(sl, None, 0, 255,
+                              cv2.NORM_MINMAX).astype(np.uint8)
+        stack.append(cv2.medianBlur(
+            cv2.createCLAHE(1.0, (8, 8)).apply(sl_u8), 3))
+    vol = np.stack(stack).astype(np.float32) / 255.0
+    idxs = np.linspace(0, len(sweep) - 1, nsub).astype(int)
+    vol = vol[idxs]
+    N, H, W = vol.shape
+    half = roi // 2
+    patches, coords = [], []
+    for sl in vol:
+        t = sl.mean() * 1.2
+        ys, xs = np.where(sl > t)
+        cx, cy = ((W // 2, H // 2) if len(xs) == 0
+                  else (int(xs.mean()), int(ys.mean())))
+        x0, y0 = max(0, cx - half), max(0, cy - half)
+        x0, y0 = min(x0, W - roi), min(y0, H - roi)
+        patches.append(sl[y0:y0 + roi, x0:x0 + roi])
+        coords.append((x0, y0))
+    t = torch.from_numpy(np.stack(patches))[:, None]
+    with torch.no_grad():
+        prob = torch.sigmoid(tm(t)).squeeze(1).numpy()
+    full = np.zeros((N, H, W), np.float32)
+    for i, (x0, y0) in enumerate(coords):
+        full[i, y0:y0 + roi, x0:x0 + roi] = prob[i]
+
+    bin_ = (full > 0.05).astype(np.uint8)
+    fi = int(bin_.sum((1, 2)).argmax())
+    mask3 = np.zeros_like(bin_)
+    if bin_[fi].sum():
+        s = np.ones((3, 3), np.uint8)
+        fr = ndi.binary_dilation(bin_[fi], structure=s).astype(np.uint8)
+        lab, n = ndi.label(fr, structure=s)
+        sizes = ndi.sum(fr, lab, index=range(1, n + 1))
+        fr = (lab == (np.argmax(sizes) + 1)).astype(np.uint8)
+        mask3[fi] = fr
+    areas = mask3.sum((1, 2))
+    idx = int(areas.argmax())
+    if areas[idx] == 0:
+        return full, mask3, np.zeros(mask3.shape[1:], np.uint8), -1
+    return full, mask3, (mask3[idx] > 0).astype(np.uint8), idx
+
+
+def test_roi_container_path_matches_reference(shared_weights, rng):
+    """System-level parity of the ROI deployment chain: probabilities
+    allclose, postprocessed stack and (mask, frame) selection identical."""
+    import dataclasses
+
+    from att_aspp_unet_tpu.infer.engine import select_mask_and_frame
+
+    tm, cfg, variables = shared_weights
+    rcfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, roi_size=32, subsample_frames=4, frame_batch=2))
+    sweep = (rng.random((9, 48, 56)) * 200).astype(np.uint8)
+    sweep[4, 10:40, 12:48] = 245
+
+    full_ref, mask3_ref, sel_ref, f_ref = _oracle_roi_path(
+        tm, sweep, roi=32, nsub=4)
+
+    engine = AttAsppEngine(rcfg, variables)
+    probs = np.asarray(engine.predict_roi(sweep))
+    np.testing.assert_allclose(probs, full_ref, rtol=1e-4, atol=1e-4)
+    mask3 = np.asarray(engine.postprocess_roi(probs))
+    np.testing.assert_array_equal(mask3, mask3_ref)
+    sel, f = select_mask_and_frame(mask3)
+    assert f == f_ref
+    np.testing.assert_array_equal(sel, sel_ref)
