@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--scouts", type=int, default=32)
     ap.add_argument("--lows", default="256,192",
                     help="comma list of scout resolutions to A/B")
+    ap.add_argument("--case-frames", type=int, default=840,
+                    help="also time one full challenge case of this many "
+                         "frames per variant (0 = skip)")
     args = ap.parse_args()
 
     import dataclasses
@@ -106,6 +109,27 @@ def main() -> int:
               f"({args.frames/disp:.1f} f/s)  sequential {seq:.3f} "
               f"({args.frames/seq:.1f} f/s)", file=sys.stderr)
         results[name] = dict(disp=disp, seq=seq)
+
+        if args.case_frames:
+            # full challenge case: fixed overheads amortize over 6 sweeps,
+            # and the cascade's scout/promote ratio improves with n —
+            # the single-chip ≥500 f/s question is decided here
+            case_host, _, _ = make_sweep(args.case_frames, 562, 744, seed=9)
+            case = jax.device_put(case_host)
+            case.block_until_ready()
+            t0 = time.time()
+            engine.predict_case(case, (0.28, 0.28), threshold=thr)
+            print(f"[r21] {name}: case compile+first "
+                  f"{time.time()-t0:.1f}s", file=sys.stderr)
+            tcs = []
+            for _ in range(3):
+                t0 = time.time()
+                engine.predict_case(case, (0.28, 0.28), threshold=thr)
+                tcs.append(time.time() - t0)
+            tc = sorted(tcs)[len(tcs) // 2]
+            print(f"[r21] {name}: case {tc:.3f} s "
+                  f"({args.case_frames/tc:.1f} f/s)", file=sys.stderr)
+            results[name]["case"] = tc
 
     line = {"probe": "r21",
             **{f"{k}_{m}": round(v, 4) for k, r in results.items()
