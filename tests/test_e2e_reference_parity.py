@@ -264,3 +264,115 @@ def test_roi_container_path_matches_reference(shared_weights, rng):
     sel, f = select_mask_and_frame(mask3)
     assert f == f_ref
     np.testing.assert_array_equal(sel, sel_ref)
+
+
+def _oracle_baseline_path(tm, sweep, tile_hw, step):
+    """The reference baseline chain (`model.py:62-104` →
+    `postprocess_probability_maps.py:61-78` → `model.py:107-139`):
+    enhance → Gaussian-weighted 50 %-overlap sliding window + 4-view
+    mirror TTA → softmax → soft-threshold 0.5 → argmax → largest 3-D CC
+    per class → sequential class-1-first frame ladder."""
+    from att_aspp_unet_tpu.models.sliding_window import (
+        compute_tile_starts, gaussian_importance_map)
+
+    stack = []
+    for sl in sweep:
+        sl_u8 = cv2.normalize(sl, None, 0, 255,
+                              cv2.NORM_MINMAX).astype(np.uint8)
+        stack.append(cv2.medianBlur(
+            cv2.createCLAHE(1.0, (8, 8)).apply(sl_u8), 3))
+    vol = np.stack(stack).astype(np.float32) / 255.0
+    N, H, W = vol.shape
+    th, tw = tile_hw
+    ph, pw = max(H, th), max(W, tw)
+    volp = np.zeros((N, ph, pw), np.float32)
+    volp[:, :H, :W] = vol
+    g = np.asarray(gaussian_importance_map(tile_hw))
+
+    def net(x):                       # (th, tw) → (th, tw, C)
+        with torch.no_grad():
+            out = tm(torch.from_numpy(np.ascontiguousarray(x)[None, None]))
+        return out[0].numpy().transpose(1, 2, 0)
+
+    C = net(volp[0, :th, :tw]).shape[-1]
+    acc = np.zeros((N, ph, pw, C))
+    den = np.zeros((ph, pw))
+    for y0 in compute_tile_starts(ph, th, step):
+        for x0 in compute_tile_starts(pw, tw, step):
+            for n in range(N):
+                tile = volp[n, y0:y0 + th, x0:x0 + tw]
+                out = net(tile)
+                out = out + net(tile[:, ::-1])[:, ::-1]
+                out = out + net(tile[::-1, :])[::-1, :]
+                out = out + net(tile[::-1, ::-1])[::-1, ::-1]
+                acc[n, y0:y0 + th, x0:x0 + tw] += (out / 4.0) * g[:, :, None]
+            den[y0:y0 + th, x0:x0 + tw] += g
+    logits = (acc / den[None, :, :, None])[:, :H, :W]
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    sm = (e / e.sum(axis=-1, keepdims=True)).transpose(3, 0, 1, 2)
+
+    smt = sm.copy()
+    smt[smt < 0.5] = 0
+    seg = np.argmax(smt, axis=0).astype(np.uint8)
+    out = np.zeros_like(seg)
+    for lab in (1, 2):
+        m = (seg == lab).astype(np.uint8)
+        labd, n = ndi.label(m)                   # 3-D cross = 6-conn
+        if n:
+            sizes = ndi.sum(m, labd, index=range(1, n + 1))
+            out[labd == (np.argmax(sizes) + 1)] = lab
+
+    largest, frame = 0, -1
+    for f in range(out.shape[0]):
+        a1 = int((out[f] == 1).sum())
+        a2 = int((out[f] == 2).sum())
+        if a1 > largest:
+            largest, frame = a1, f
+        elif a2 > largest:
+            largest, frame = a2, f
+    sel = (np.zeros(out.shape[1:], np.uint8) if frame < 0
+           else (out[frame] > 0).astype(np.uint8))
+    return sm, out, sel, frame
+
+
+def test_baseline_path_matches_reference(rng):
+    """System-level parity of the nnU-Net-style baseline chain with shared
+    weights: softmax allclose, postprocessed labels and the sequential
+    frame-ladder selection identical."""
+    from att_aspp_unet_tpu.config import PlainUNetConfig
+    from att_aspp_unet_tpu.infer.container import select_labeled_mask_and_frame
+    from att_aspp_unet_tpu.infer.engine import BaselineEngine
+    from att_aspp_unet_tpu.models import PlainConvUNet
+    from att_aspp_unet_tpu.utils.nnunet_import import convert_nnunet_state_dict
+    from .test_nnunet_import import _NNUNetOracle, _rename
+
+    pu = PlainUNetConfig(base_c=4, max_c=16, n_stages=3, patch_size=(32, 32),
+                         compute_dtype="float32", num_classes=3)
+    torch.manual_seed(2)
+    tm = _NNUNetOracle(pu)
+    tm.eval()
+    cfg = Config(model=ModelConfig(base_c=4), plain_unet=pu)
+    bmodel = PlainConvUNet.from_config(pu)
+    bvars = bmodel.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 32, 32, 1), np.float32), train=False)
+    sd = _rename({k: v.detach().numpy() for k, v in tm.state_dict().items()})
+    bvars = convert_nnunet_state_dict(sd, pu, bvars, verbose=False)
+
+    sweep = (rng.random((3, 40, 56)) * 200).astype(np.uint8)
+    sweep[1, 10:30, 12:44] = 245
+
+    sm_ref, seg_ref, sel_ref, f_ref = _oracle_baseline_path(
+        tm, sweep, (32, 32), pu.tile_step)
+
+    engine = BaselineEngine(cfg, bvars)
+    sm = np.asarray(engine.predict(sweep))
+    # device CLAHE matches cv2 to +-1 u8 at tile seams
+    # (test_cv2_parity.py:35); per-tile InstanceNorm amplifies that input
+    # delta to ~1e-3 in the softmax -- the discrete outputs below must
+    # still be identical
+    np.testing.assert_allclose(sm, sm_ref, rtol=5e-3, atol=5e-3)
+    seg = np.asarray(engine.postprocess(sm))
+    np.testing.assert_array_equal(seg, seg_ref)
+    sel, f = select_labeled_mask_and_frame(seg)
+    assert f == f_ref
+    np.testing.assert_array_equal(sel, sel_ref)
