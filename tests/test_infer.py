@@ -499,3 +499,31 @@ def test_predict_case_cascade_subset_contract(tiny_att, rng):
     assert m.shape == sweep.shape[1:]
     assert set(np.unique(m)).issubset({0, 1})
     assert np.isnan(ac) or np.isfinite(ac)
+
+
+def test_predict_case_cascade_exactness_property(tiny_att, rng):
+    """Property over random content: whenever every frame is promoted the
+    cascade must be EXACTLY the direct path — any divergence would mean
+    the two tiers disagree on ranking machinery, not just scout error."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=7))
+    eng_d = AttAsppEngine(cfg, variables)
+    eng_c = AttAsppEngine(ccfg, variables)
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        sweep = (r.random((7, 40, 48)) * 255).astype(np.uint8)
+        if seed % 2:
+            y, x = 4 + seed, 6 + seed
+            sweep[seed % 7, y:y + 20, x:x + 28] = 250
+        # one fixed threshold: it is a static jit arg, so varying it would
+        # recompile both engines per iteration (~20 s each on this host)
+        f_d, m_d, ac_d = eng_d.predict_case(sweep, (0.28, 0.28),
+                                            threshold=0.5)
+        f_c, m_c, ac_c = eng_c.predict_case(sweep, (0.28, 0.28),
+                                            threshold=0.5)
+        assert f_c == f_d, f"seed {seed}: {f_c} != {f_d}"
+        np.testing.assert_array_equal(m_c, m_d)
+        np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
