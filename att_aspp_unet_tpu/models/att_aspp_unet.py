@@ -78,10 +78,6 @@ class AttentionASPPUNet(nn.Module):
         # so checkpoints are interchangeable — nn/packed_stage.py).
         packed512 = self.conv_lowering == "w2d_stage"
         if packed512:
-            if train:
-                raise ValueError(
-                    "conv_lowering='w2d_stage' is a serving lowering; "
-                    "BatchNorm runs as the folded inference affine")
             if x.shape[2] % 2:
                 raise ValueError("w2d_stage needs an even input width")
 
@@ -110,8 +106,10 @@ class AttentionASPPUNet(nn.Module):
         if packed512:
             from ..nn.packed_stage import PackedCBR, packed_pool2
 
-            x1 = PackedCBR(c, io="in", name="d1_0", **kw)(x)
-            x1 = PackedCBR(c, io="both", name="d1_1", **kw)(x1)
+            PCBR = (nn.remat(PackedCBR, static_argnums=(2,))
+                    if self.remat else PackedCBR)
+            x1 = PCBR(c, io="in", name="d1_0", **kw)(x, train)
+            x1 = PCBR(c, io="both", name="d1_1", **kw)(x1, train)
             x2_in = packed_pool2(x1)          # already the unpacked layout
         else:
             x1 = enc(x, c, "d1")
@@ -144,7 +142,9 @@ class AttentionASPPUNet(nn.Module):
             from ..nn.packed_stage import (PackedPointwise, PackedUpBlock,
                                            unpack_logits)
 
-            d1p = PackedUpBlock(c, name="u1", **kw)(d2, x1)
+            PUP = (nn.remat(PackedUpBlock, static_argnums=(3,))
+                   if self.remat else PackedUpBlock)
+            d1p = PUP(c, name="u1", **kw)(d2, x1, train)
             lp = PackedPointwise(self.num_classes, name="out_conv",
                                  **kw)(d1p)
             logits = unpack_logits(lp, self.num_classes)

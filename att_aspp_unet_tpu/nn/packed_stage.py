@@ -21,8 +21,10 @@ the full-resolution level of the U-Net, where every boundary folds away:
 Every module here declares parameters with the SAME names and shapes as
 its direct counterpart (``Conv3x3``/``nn.BatchNorm``/``nn.ConvTranspose``
 /``nn.Conv``), so checkpoints are interchangeable between lowerings.
-Serving-only: BatchNorm runs as the folded inference affine (train=True
-is rejected by the model).
+Training is supported too: BatchNorm batch statistics are computed in
+packed space (reduce the activation to a (2C,) vector FIRST, fold the
+halves on the vector — no relayout; :class:`PackedBNAffine`), and every
+op here autodiffs, so the same packed plan serves ``train=True``.
 
 Measured on v5e (probe r19, fresh-layout inputs — see the NOTES.md
 probe-methodology rule): numbers recorded in NOTES.md round-3.
@@ -56,20 +58,27 @@ def packed_pool2(xp: jax.Array) -> jax.Array:
 
 
 class PackedBNAffine(nn.Module):
-    """Inference BatchNorm as a packed-space affine.
+    """BatchNorm computed in the packed layout.
 
     Declares ``scale``/``bias`` params and ``batch_stats`` ``mean``/
-    ``var`` with :class:`flax.linen.BatchNorm`'s names and (C,) shapes;
-    applies the folded affine tiled over the two packed halves.
+    ``var`` with :class:`flax.linen.BatchNorm`'s names and (C,) shapes.
+    Serving (``train=False``): the folded inference affine tiled over the
+    two packed halves.  Training (``train=True``): batch statistics over
+    (B, H, W) of the LOGICAL tensor computed without unpacking — the big
+    tensor is reduced to a (2C,) sum/sum-of-squares first, and the halves
+    fold on that tiny vector, so no lane relayout ever touches the
+    activation; running stats update with flax's momentum rule
+    (``ra = m·ra + (1−m)·batch``, m = ``momentum``).
     """
 
     features: int
     epsilon: float = 1e-5
+    momentum: float = 0.9
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xp):
+    def __call__(self, xp, train: bool = False):
         C = self.features
         scale = self.param("scale", nn.initializers.ones, (C,),
                            self.param_dtype)
@@ -79,9 +88,28 @@ class PackedBNAffine(nn.Module):
                              lambda: jnp.zeros((C,), jnp.float32))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((C,), jnp.float32))
-        s = (scale * jax.lax.rsqrt(var.value + self.epsilon)).astype(
-            jnp.float32)
-        b = (bias - mean.value * s).astype(jnp.float32)
+        # stats in at least f32 (promoted so a float64 model keeps f64 —
+        # hard-coding f32 here showed up as 1e-8 "noise" in an x64
+        # parity experiment)
+        sdt = jnp.promote_types(self.param_dtype, jnp.float32)
+        if train:
+            xs = xp.astype(sdt)
+            n, h, w2, _ = xp.shape
+            cnt = n * h * w2 * 2
+            s1 = jnp.sum(xs, axis=(0, 1, 2)).reshape(2, C).sum(0)
+            s2 = jnp.sum(xs * xs, axis=(0, 1, 2)).reshape(2, C).sum(0)
+            m = s1 / cnt
+            v = s2 / cnt - m * m                # flax "fast variance"
+            if not self.is_initializing():
+                mean.value = (self.momentum * mean.value
+                              + (1.0 - self.momentum) * m)
+                var.value = (self.momentum * var.value
+                             + (1.0 - self.momentum) * v)
+        else:
+            m, v = mean.value, var.value
+        s = (scale.astype(sdt) * jax.lax.rsqrt(v.astype(sdt)
+                                               + self.epsilon))
+        b = bias.astype(sdt) - m.astype(sdt) * s
         st = jnp.concatenate([s, s]).astype(self.dtype)
         bt = jnp.concatenate([b, b]).astype(self.dtype)
         return xp * st + bt
@@ -138,11 +166,11 @@ class PackedCBR(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         y = PackedConv3x3(self.features, io=self.io,
                           in_groups=self.in_groups, name="conv", **kw)(x)
-        y = PackedBNAffine(self.features, name="bn", **kw)(y)
+        y = PackedBNAffine(self.features, name="bn", **kw)(y, train)
         return nn.relu(y)
 
 
@@ -209,13 +237,14 @@ class PackedUpBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, g, x1_packed):
+    def __call__(self, g, x1_packed, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         gp = PackedConvTranspose2(self.features, name="up", **kw)(g)
         h = jnp.concatenate([x1_packed.astype(gp.dtype), gp], axis=-1)
         h = PackedCBR(self.features, io="both", in_groups=2,
-                      name="conv0", **kw)(h)
-        return PackedCBR(self.features, io="both", name="conv1", **kw)(h)
+                      name="conv0", **kw)(h, train)
+        return PackedCBR(self.features, io="both", name="conv1",
+                         **kw)(h, train)
 
 
 def unpack_logits(lp: jax.Array, num_classes: int) -> jax.Array:

@@ -470,7 +470,9 @@ def _bench_train(args) -> int:
     S = args.img_size
     B = 8
     cfg = Config(preprocess=PreprocessConfig(img_size=S),
-                 model=ModelConfig(base_c=args.base_c),
+                 model=ModelConfig(base_c=args.base_c,
+                                   conv_lowering=(args.lowering
+                                                  or "direct")),
                  train=TrainConfig(batch_size=B))
     mesh = make_mesh_for_batch(MeshConfig(), B)
     rep = replicate(mesh)

@@ -182,3 +182,32 @@ def test_differential_lr_labels():
     msks = np.zeros((4, 32, 32), np.uint8)
     state, m = step(state, imgs, msks, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_train_step_w2d_stage_lowering(rng):
+    """The packed 512-level lowering trains: loss decreases, and the
+    first step's loss matches the direct lowering's (same init, same
+    batch — the lowerings are semantically identical, f64-exact in
+    test_packed_stage.py)."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    pcfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, conv_lowering="w2d_stage"))
+    ds = _tiny_dataset(rng, n=4)
+    key = jax.random.PRNGKey(1)
+
+    losses = {}
+    for name, c in (("direct", cfg), ("packed", pcfg)):
+        state = create_train_state(c.model, c.train, steps_per_epoch=1,
+                                   rng=jax.random.PRNGKey(0),
+                                   sample_hw=(32, 32))
+        step = jax.jit(make_train_step(c))
+        ls = []
+        for _ in range(6):
+            state, m = step(state, ds.images, ds.masks, key)
+            ls.append(float(m["loss"]))
+        losses[name] = ls
+        assert ls[-1] < ls[0]
+    assert losses["packed"][0] == pytest.approx(losses["direct"][0],
+                                                rel=1e-3)
