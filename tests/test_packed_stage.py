@@ -278,3 +278,39 @@ def test_engine_w2d_stage_with_tta(rng):
     p_d = np.asarray(AttAsppEngine(base, variables).predict_full(sweep))
     p_p = np.asarray(AttAsppEngine(pcfg, variables).predict_full(sweep))
     np.testing.assert_allclose(p_p, p_d, rtol=1e-4, atol=1e-4)
+
+
+def test_w2d_stage_composes_with_cascade(rng):
+    """The two serving opt-ins compose: a cascade engine with the packed
+    lowering reproduces the direct engine's predict_case when every frame
+    promotes."""
+    import dataclasses
+
+    from att_aspp_unet_tpu.config import (Config, PredictConfig,
+                                          PreprocessConfig)
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+
+    base = Config(
+        preprocess=PreprocessConfig(img_size=64),
+        model=ModelConfig(base_c=8, compute_dtype="float32"),
+        predict=PredictConfig(frame_batch=4),
+    )
+    combo = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, conv_lowering="w2d_stage"),
+        predict=dataclasses.replace(base.predict, cascade=True,
+                                    cascade_img_size=32,
+                                    cascade_scouts=5))
+    model = AttentionASPPUNet.from_config(base.model)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 64, 64, 1), np.float32),
+                           train=False)
+    sweep = (rng.random((5, 40, 48)) * 200).astype(np.uint8)
+    sweep[2, 10:30, 10:38] = 250
+    f_d, m_d, ac_d = AttAsppEngine(base, variables).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+    f_c, m_c, ac_c = AttAsppEngine(combo, variables).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+    assert f_c == f_d
+    np.testing.assert_array_equal(m_c, m_d)
+    np.testing.assert_allclose(ac_c, ac_d, rtol=1e-5, equal_nan=True)
