@@ -263,3 +263,26 @@ def test_cli_int8_flag_reaches_model_config():
     ns = argparse.Namespace(int8=True)
     assert _base_config(ns).model.conv_lowering == "int8"
     assert _base_config(argparse.Namespace()).model.conv_lowering == "direct"
+
+
+def test_int8_composes_with_cascade(rng):
+    """int8 lowering + cascade serving compose: auto-calibration fires
+    inside the cascade submit, the case path runs end-to-end, and with
+    every frame promoted the result matches the int8 DIRECT path."""
+    base, qcfg = _cfgs()
+    ccfg = dataclasses.replace(qcfg, predict=dataclasses.replace(
+        qcfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=6))
+    model = AttentionASPPUNet.from_config(base.model)
+    variables = model.init(jax.random.PRNGKey(1),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    sweep = (rng.random((6, 40, 48)) * 200).astype(np.uint8)
+    sweep[3, 10:30, 10:38] = 250
+
+    eng_q = AttAsppEngine(qcfg, variables)
+    eng_c = AttAsppEngine(ccfg, variables)
+    f_q, m_q, ac_q = eng_q.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    f_c, m_c, ac_c = eng_c.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    assert "quant" in eng_c.variables          # lazy calibration happened
+    assert f_c == f_q
+    np.testing.assert_array_equal(m_c, m_q)
+    np.testing.assert_allclose(ac_c, ac_q, rtol=1e-5, equal_nan=True)
