@@ -190,6 +190,56 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_warm(args) -> int:
+    """Pre-compile the serving programs for declared sweep shapes.
+
+    The persistent XLA compilation cache keys on HLO, so running each
+    shape once here means a deployment's first real case skips the cold
+    compiles (refine alone is ~2 min cold at native resolution —
+    NOTES.md).  All-zero sweeps compile the identical programs: shapes,
+    not content, determine the HLO."""
+    import time
+
+    import numpy as np
+
+    from .infer.engine import AttAsppEngine
+    from .models import AttentionASPPUNet
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = _base_config(args)
+    from .config import PreprocessConfig
+    cfg = dataclasses.replace(
+        cfg, preprocess=PreprocessConfig(img_size=args.img_size))
+    if args.lowering:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, conv_lowering=args.lowering))
+    cfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, tta_hflip=bool(args.tta)))
+    if args.weights:
+        variables = load_variables(Path(args.weights), cfg,
+                                   cfg.preprocess.img_size)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        model = AttentionASPPUNet.from_config(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.preprocess.img_size,
+                       cfg.preprocess.img_size, 1), jnp.float32),
+            train=False)
+    engine = AttAsppEngine(cfg, variables)
+    for spec in args.shapes.split(","):
+        n, h, w = (int(t) for t in spec.lower().split("x"))
+        sweep = np.zeros((n, h, w), np.uint8)
+        t0 = time.time()
+        engine.predict_case(sweep, (0.28, 0.28),
+                            threshold=cfg.predict.threshold)
+        print(f"[warm] {spec}: compiled+ran in {time.time() - t0:.1f}s")
+    return 0
+
+
 def cmd_infer_container(args) -> int:
     from .config import ContainerConfig
     from .infer.container import run_from_env
@@ -454,6 +504,26 @@ def get_parser() -> argparse.ArgumentParser:
     lc.add_argument("-r", "--recursive", action="store_true")
     lc.add_argument("--by-stem", action="store_true")
     lc.set_defaults(fn=cmd_leak_check)
+
+    wm = sp.add_parser(
+        "warm",
+        help="pre-compile the serving programs for the declared sweep "
+             "shapes so a deployment's first case doesn't pay cold XLA "
+             "compiles (the persistent compilation cache keys on HLO; "
+             "refine alone is ~2 min cold at native res, NOTES.md)")
+    wm.add_argument("--shapes", default="140x562x744",
+                    help="comma list of NxHxW sweep shapes to compile")
+    wm.add_argument("--weights", help="optional checkpoint (shapes only "
+                                      "matter for compilation; random "
+                                      "init is used without one)")
+    wm.add_argument("--cascade", action="store_true")
+    wm.add_argument("--int8", action="store_true")
+    wm.add_argument("--lowering",
+                    choices=["direct", "int8", "w2d_stage"])
+    wm.add_argument("--tta", action="store_true")
+    wm.add_argument("--img-size", type=int, default=512)
+    model_flags(wm)
+    wm.set_defaults(fn=cmd_warm)
 
     dr = sp.add_parser("dataset-report")
     dr.add_argument("--frame_index")

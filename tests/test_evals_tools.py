@@ -334,3 +334,15 @@ def test_cli_leak_check_end_to_end(tmp_path, monkeypatch):
                "--val", str(tmp_path / "val"),
                "--out", str(tmp_path / "check")])
     assert rc == 0                                   # no leak
+
+
+def test_cli_warm_compiles_declared_shapes(capsys):
+    """`cli warm` runs the serving program for each declared shape (the
+    deployment cold-start tool; shapes, not content, determine the HLO)."""
+    from att_aspp_unet_tpu.cli import main
+
+    rc = main(["warm", "--shapes", "3x40x48,2x24x28", "--base_c", "4",
+               "--img-size", "32", "--cascade"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("[warm]") == 2 and "3x40x48" in out
