@@ -79,8 +79,8 @@ def main() -> int:
         # --- forward fresh-layout loop (scalar-carry dependence) ---
         def fwd_loop(x0, variables):
             def it(i, carry):
-                out = model.apply(variables, x0 + carry * 1e-30,
-                                  train=False)
+                out, _ = model.apply(variables, x0 + carry * 1e-30,
+                                     train=False)
                 return carry + jnp.sum(out).astype(jnp.float32) * 1e-30
             return lax.fori_loop(0, K, it, jnp.float32(0.0))
 
