@@ -111,6 +111,13 @@ def cmd_train(args) -> int:
     from .train.train_loop import fit
 
     cfg = _base_config(args)
+    # training default is the packed 512-level lowering: f64-exact vs
+    # direct (params, grads and BN stats; tests/test_packed_stage.py) and
+    # ×1.38 faster on hardware at the reference config (NOTES.md r22).
+    # Serving keeps "direct" — the same packing LOSES there (r20).
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, conv_lowering=getattr(args, "lowering", None)
+        or "w2d_stage"))
     imgs, msks = collect_pairs(Path(args.train_dir) / "images",
                                Path(args.train_dir) / "masks")
     if args.neg_dir:
@@ -383,6 +390,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "flag, test_ablation.py:895; same as --edge_w 0)")
     t.add_argument("--neg_bce_w", type=float, default=0.05)
     t.add_argument("--differential_lr", action="store_true")
+    t.add_argument("--lowering", choices=["direct", "w2d_stage"],
+                   default="w2d_stage",
+                   help="conv lowering for the train step (default "
+                        "w2d_stage: packed 512-level, f64-exact vs direct "
+                        "and x1.38 faster on TPU — NOTES.md r22/r20)")
     model_flags(t)
     t.set_defaults(fn=cmd_train)
 

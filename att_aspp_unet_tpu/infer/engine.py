@@ -222,12 +222,15 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
 @functools.partial(jax.jit, static_argnames=(
     "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
     "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
-    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw"))
+    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
+    "lowres_enhance", "scout_batch"))
 def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
                                low_size, clahe_clip, clahe_grid,
                                median_kernel, batch, tta, gauss_k, threshold,
                                n_scout, n_cand, min_area_px, min_area_frac,
-                               close_kernel, bucket_hw):
+                               close_kernel, bucket_hw,
+                               lowres_enhance: bool = False,
+                               scout_batch: int = 0):
     """Two-tier predict_case: scout ALL frames at ``low_size`` (1/4 the
     FLOPs at the default half resolution), promote the ``n_scout``
     best-ranked to the full ``img_size`` forward, then rank / refine /
@@ -240,25 +243,47 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     feeds both tiers — semantics preserved (the reference enhances before
     its resize, ``…stage.py:492-494``).  Scouting never uses TTA; the
     promoted frames honour the configured ``tta``.
+
+    ``lowres_enhance`` moves the scout tier's enhancement to ``low_size``
+    too (CLAHE + median cost scales with pixels; native-res CLAHE over
+    every frame is the next-largest device cost after the forwards) and
+    enhances only the PROMOTED frames at native resolution.  Enhancement
+    is per-frame, so ``enhance(sweep[promoted]) == enhance(sweep)[promoted]``
+    — tier 2 is bit-identical to the direct path either way, and the
+    all-frames-promote exactness property is preserved by construction.
+    Only the scout RANKING sees differently-adapted CLAHE tiles (fidelity
+    measured: probe r23, NOTES.md).
     """
     from ..postprocess.refine import _refine_mask_padded
 
-    u8 = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
-    xf = u8.astype(jnp.float32)
     n = sweep.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
     # ---- tier 1: low-res scout over every frame ----
-    x_lo = resize_bilinear(xf, (low_size, low_size)) / 255.0
-    probs_lo = predict_sweep_probs(apply_fn, variables, x_lo, batch,
-                                   hflip=False)
+    if lowres_enhance:
+        lo_u8 = enhance_frames(
+            resize_bilinear(sweep.astype(jnp.float32), (low_size, low_size)),
+            clahe_clip, clahe_grid, median_kernel)
+        x_lo = lo_u8.astype(jnp.float32) / 255.0
+    else:
+        u8 = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
+        xf = u8.astype(jnp.float32)
+        x_lo = resize_bilinear(xf, (low_size, low_size)) / 255.0
+    probs_lo = predict_sweep_probs(apply_fn, variables, x_lo,
+                                   scout_batch or batch, hflip=False)
     binary_lo = (probs_lo > threshold).astype(jnp.uint8)
     areas_lo = candidate_rank_areas(binary_lo, close_kernel)
     areas_lo = jnp.where(idx < n_valid, areas_lo, -1)
     scout_idx = jnp.lexsort((-idx, -areas_lo))[:n_scout]
 
     # ---- tier 2: full-res forward on the promoted frames only ----
-    x_hi = resize_bilinear(xf[scout_idx], (img_size, img_size)) / 255.0
+    if lowres_enhance:
+        hi_u8 = enhance_frames(sweep[scout_idx], clahe_clip, clahe_grid,
+                               median_kernel)
+        xf_hi = hi_u8.astype(jnp.float32)
+    else:
+        xf_hi = xf[scout_idx]
+    x_hi = resize_bilinear(xf_hi, (img_size, img_size)) / 255.0
     probs_hi = predict_sweep_probs(apply_fn, variables, x_hi, batch, tta)
     native = resize_bilinear(probs_hi, sweep.shape[-2:])
     probs = gaussian_blur(native, gauss_k, 0.0)
@@ -275,6 +300,23 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     refined = _refine_mask_padded(padded, jnp.asarray([H, W], jnp.int32),
                                   min_area_px, min_area_frac, close_kernel)
     return cand_idx, _packbits_w(refined[..., :H, :W])
+
+
+def scout_micro_batch(n: int, requested: int, frame_batch: int) -> int:
+    """Effective scout-tier micro-batch for an ``n``-frame stack.
+
+    Large batches fill the MXU better at the scout resolution (probe
+    r24/r24b: ×1.22–1.41 on the 840-frame case going 16 → 128), but
+    ``predict_sweep_probs`` zero-pads the stack to a batch multiple, and a
+    batch comparable to ``n`` can waste a large fraction of the scout
+    forward on padding (140 frames at batch 128 would scout 83 % extra).
+    Halve the requested batch until the padding stays under n/4 — at
+    worst down to ``frame_batch``, the tier-2 micro-batch.
+    """
+    b = max(1, requested or frame_batch)
+    while b > frame_batch and (-n) % b > n // 4:
+        b //= 2
+    return max(1, min(b, max(n, 1)))
 
 
 def _packbits_w(m: jax.Array) -> jax.Array:
@@ -534,7 +576,11 @@ class AttAsppEngine:
                 pc.cascade_img_size, p.clahe_clip, p.clahe_grid,
                 p.median_kernel, pc.frame_batch, pc.tta_hflip,
                 pc.gaussian_kernel, float(thr), n_scout, m, pc.min_area_px,
-                pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))
+                pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W),
+                lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
+                scout_batch=scout_micro_batch(
+                    staged.shape[0], getattr(pc, "cascade_scout_batch", 0),
+                    pc.frame_batch))
             return cand_idx, refined, W
         cand_idx, refined = _predict_case_impl(
             self._apply, self.variables, staged, nv, p.img_size,

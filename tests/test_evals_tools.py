@@ -301,6 +301,18 @@ def test_cli_parser_subcommands():
     assert args.model_tag == "att_aspp"
 
 
+def test_cli_train_lowering_default():
+    """Training defaults to the packed 512-level lowering (NOTES.md r22:
+    x1.38 on hardware, f64-exact vs direct); --lowering direct opts out.
+    Serving parsers are unaffected (direct default)."""
+    from att_aspp_unet_tpu.cli import get_parser
+
+    p = get_parser()
+    assert p.parse_args(["train", "--train_dir", "x"]).lowering == "w2d_stage"
+    assert p.parse_args(["train", "--train_dir", "x", "--lowering",
+                         "direct"]).lowering == "direct"
+
+
 def test_cli_reference_ablation_flags():
     """The reference ablation CLI's flag set parses and reaches the config
     (test_ablation.py:894-903): --no_edge_loss, --deterministic,

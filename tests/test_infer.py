@@ -501,6 +501,82 @@ def test_predict_case_cascade_subset_contract(tiny_att, rng):
     assert np.isnan(ac) or np.isfinite(ac)
 
 
+def test_predict_case_cascade_lowres_enhance_matches_direct(tiny_att, rng):
+    """cascade_lowres_enhance: tier 2 enhances the PROMOTED frames at
+    native resolution, and enhancement is per-frame — so with every frame
+    promoted the output must still be EXACTLY the direct path even though
+    the scout tier saw low-res CLAHE adaptation."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 6)
+    sweep[2, 8:32, 10:40] = 250
+    eng_d = AttAsppEngine(cfg, variables)
+    f_d, m_d, ac_d = eng_d.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=6,
+        cascade_lowres_enhance=True))
+    eng_c = AttAsppEngine(ccfg, variables)
+    f_c, m_c, ac_c = eng_c.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    assert f_c == f_d
+    np.testing.assert_array_equal(m_c, m_d)
+    np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
+
+
+def test_predict_case_cascade_lowres_enhance_subset_contract(tiny_att, rng):
+    """scouts < n with low-res scout enhancement: the output contract
+    holds and the pick comes from the promoted set (indices valid)."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 8)
+    sweep[5, 8:32, 10:40] = 250
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=3,
+        cascade_lowres_enhance=True))
+    eng = AttAsppEngine(ccfg, variables)
+    f, m, ac = eng.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    assert 0 <= f < 8
+    assert m.shape == sweep.shape[1:]
+    assert set(np.unique(m)).issubset({0, 1})
+    assert np.isnan(ac) or np.isfinite(ac)
+
+
+def test_scout_micro_batch_rule():
+    """Padding-aware scout batch: halve until zero-pad ≤ n/4, floor at
+    frame_batch; 0 requests the frame_batch."""
+    from att_aspp_unet_tpu.infer.engine import scout_micro_batch
+
+    assert scout_micro_batch(840, 128, 16) == 128   # pad 56 ≤ 210
+    assert scout_micro_batch(140, 128, 16) == 32    # 128→pad 116, 64→52, 32→20
+    assert scout_micro_batch(140, 0, 16) == 16      # 0 = frame_batch
+    assert scout_micro_batch(8, 128, 16) == 8       # capped at n
+    assert scout_micro_batch(7, 4, 4) == 4          # floor at frame_batch
+
+
+def test_predict_case_cascade_scout_batch_invariance(tiny_att, rng):
+    """cascade_scout_batch is pure micro-batching of the scout forward —
+    frames are independent, so any batch gives identical output."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 7)
+    sweep[4, 8:32, 10:40] = 250
+    outs = []
+    for sb in (0, 5):
+        ccfg = dc.replace(cfg, predict=dc.replace(
+            cfg.predict, cascade=True, cascade_img_size=32,
+            cascade_scouts=3, cascade_scout_batch=sb))
+        outs.append(AttAsppEngine(ccfg, variables).predict_case(
+            sweep, (0.28, 0.28), threshold=0.5))
+    (f0, m0, ac0), (f1, m1, ac1) = outs
+    assert f0 == f1
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(ac0, ac1, rtol=1e-6, equal_nan=True)
+
+
 def test_predict_case_cascade_exactness_property(tiny_att, rng):
     """Property over random content: whenever every frame is promoted the
     cascade must be EXACTLY the direct path — any divergence would mean
