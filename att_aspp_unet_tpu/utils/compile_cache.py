@@ -12,6 +12,12 @@ from pathlib import Path
 
 
 def enable_compilation_cache(cache_dir=None) -> None:
+    # kill switch: jax's executable serializer has segfaulted writing cache
+    # entries on the CPU backend (pjit executables, observed twice under
+    # pytest 2026-08-18 — once racing another writer, once solo).  CPU
+    # compiles are cheap; the cache only pays for remote-TPU compiles.
+    if os.environ.get("ATT_ASPP_DISABLE_COMPILE_CACHE"):
+        return
     import jax
 
     d = Path(cache_dir or os.environ.get("JAX_CACHE_DIR",
