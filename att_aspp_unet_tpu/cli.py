@@ -51,7 +51,11 @@ def _base_config(args) -> "Config":
         differential_lr=getattr(args, "differential_lr", False),
         loss=loss,
     )
-    predict = PredictConfig(cascade=getattr(args, "cascade", False))
+    predict = PredictConfig(
+        cascade=getattr(args, "cascade", False),
+        cascade_scout_weights=getattr(args, "scout_weights", None),
+        cascade_scout_base_c=getattr(args, "scout_base_c", 16),
+        cascade_scout_thr=getattr(args, "scout_thr", 0.0))
     return Config(model=model, train=train, predict=predict)
 
 
@@ -428,6 +432,15 @@ def get_parser() -> argparse.ArgumentParser:
                     help="two-tier sweep serving: scout all frames at "
                          "half resolution, full-res forward only on the "
                          "top candidates (infer/engine.py cascade path)")
+    pr.add_argument("--scout_weights", default=None,
+                    help="npz checkpoint of a DISTILLED SCOUT for the "
+                         "cascade's tier-1 ranking forward (served masks "
+                         "always come from the main model); e.g. "
+                         "resources/synthetic_scout/weights.npz")
+    pr.add_argument("--scout_base_c", type=int, default=16)
+    pr.add_argument("--scout_thr", type=float, default=0.0,
+                    help="scout's calibrated rank threshold "
+                         "(0 = main threshold)")
     pr.add_argument("--viz_att", action="store_true",
                     help="write per-PNG attention panels (raw | prob | "
                          "mean psi | mask) to <out>/panels "

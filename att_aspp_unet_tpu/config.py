@@ -242,6 +242,18 @@ class PredictConfig:
     # the effective batch so zero-padding never exceeds n/4 of the stack
     # (engine.scout_micro_batch), so short sweeps aren't over-padded.
     cascade_scout_batch: int = 128
+    # Optional DISTILLED SCOUT: an npz_weights checkpoint of a smaller
+    # AttentionASPPUNet (base_c cascade_scout_base_c) used only for the
+    # tier-1 ranking forward — the scout only has to rank frames, and the
+    # full-capacity scout forward is ~62 % of the case's device time
+    # (probe r25).  Tier 2 always runs the main model, so served masks
+    # never depend on scout quality; promotion fidelity is measured in
+    # probe r26.  cascade_scout_thr: the scout's own calibrated
+    # probability threshold for the rank mask (0 = use the main
+    # threshold).
+    cascade_scout_weights: Optional[str] = None
+    cascade_scout_base_c: int = 16
+    cascade_scout_thr: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -223,14 +223,17 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
     "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
     "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
     "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
-    "lowres_enhance", "scout_batch"))
+    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr"))
 def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
                                low_size, clahe_clip, clahe_grid,
                                median_kernel, batch, tta, gauss_k, threshold,
                                n_scout, n_cand, min_area_px, min_area_frac,
                                close_kernel, bucket_hw,
                                lowres_enhance: bool = False,
-                               scout_batch: int = 0):
+                               scout_batch: int = 0,
+                               scout_apply_fn=None,
+                               scout_variables=None,
+                               scout_thr: float = 0.0):
     """Two-tier predict_case: scout ALL frames at ``low_size`` (1/4 the
     FLOPs at the default half resolution), promote the ``n_scout``
     best-ranked to the full ``img_size`` forward, then rank / refine /
@@ -253,9 +256,21 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     all-frames-promote exactness property is preserved by construction.
     Only the scout RANKING sees differently-adapted CLAHE tiles (fidelity
     measured: probe r23, NOTES.md).
+
+    ``scout_apply_fn``/``scout_variables``/``scout_thr`` optionally give
+    the scout tier its OWN (smaller, distilled) model — the scout only
+    has to rank frames, not segment them well, and the full-capacity
+    scout forward dominates the case's device time (probe r25: ~62 %).
+    Tier 2 always runs the main model on the promoted frames, so the
+    all-frames-promote exactness property holds for ANY scout model.
+    Defaults (None) fall back to the main model and threshold.
     """
     from ..postprocess.refine import _refine_mask_padded
 
+    if scout_apply_fn is None:
+        scout_apply_fn, scout_variables = apply_fn, variables
+    if not scout_thr:
+        scout_thr = threshold
     n = sweep.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -269,9 +284,9 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
         u8 = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
         xf = u8.astype(jnp.float32)
         x_lo = resize_bilinear(xf, (low_size, low_size)) / 255.0
-    probs_lo = predict_sweep_probs(apply_fn, variables, x_lo,
+    probs_lo = predict_sweep_probs(scout_apply_fn, scout_variables, x_lo,
                                    scout_batch or batch, hflip=False)
-    binary_lo = (probs_lo > threshold).astype(jnp.uint8)
+    binary_lo = (probs_lo > scout_thr).astype(jnp.uint8)
     areas_lo = candidate_rank_areas(binary_lo, close_kernel)
     areas_lo = jnp.where(idx < n_valid, areas_lo, -1)
     scout_idx = jnp.lexsort((-idx, -areas_lo))[:n_scout]
@@ -392,10 +407,46 @@ class AttAsppEngine:
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
         self._nval_cache: Dict[int, jax.Array] = {}
+        self._init_scout(cfg, mesh)
         if self.model.conv_lowering == "int8" and "quant" in variables:
             # caller supplied pre-calibrated activation scales
             self.variables["quant"] = jax.device_put(variables["quant"])
         self._maybe_enable_fast_forward()
+
+    def _init_scout(self, cfg: Config, mesh) -> None:
+        """Load the optional DISTILLED SCOUT for cascade serving.
+
+        ``PredictConfig.cascade_scout_weights`` names an ``npz_weights``
+        checkpoint of a smaller AttentionASPPUNet (base_c
+        ``cascade_scout_base_c``) that replaces the full-capacity model in
+        the cascade's tier-1 ranking forward only — tier 2 (the forward
+        that produces the served masks) always runs the main model, so
+        correctness of the served output never depends on scout quality;
+        only WHICH frames get promoted does (fidelity: probe r26).
+        """
+        self._scout_apply = None
+        self._scout_variables = None
+        pc = cfg.predict
+        path = getattr(pc, "cascade_scout_weights", None)
+        if not (getattr(pc, "cascade", False) and path):
+            return
+        import dataclasses as _dc
+
+        from ..utils.npz_weights import load_npz_variables
+
+        scout_model = AttentionASPPUNet.from_config(_dc.replace(
+            cfg.model, base_c=pc.cascade_scout_base_c,
+            conv_lowering="direct"))
+        raw = load_npz_variables(path)
+        sv = {"params": raw["params"],
+              "batch_stats": raw.get("batch_stats", {})}
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            sv = jax.device_put(sv, replicate(mesh))
+        else:
+            sv = jax.device_put(sv)
+        self._scout_variables = sv
+        self._scout_apply = functools.partial(scout_model.apply, train=False)
 
     def _ensure_quant(self, sweep: np.ndarray) -> None:
         """Lazy PTQ activation calibration (``conv_lowering="int8"``).
@@ -580,7 +631,10 @@ class AttAsppEngine:
                 lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
                 scout_batch=scout_micro_batch(
                     staged.shape[0], getattr(pc, "cascade_scout_batch", 0),
-                    pc.frame_batch))
+                    pc.frame_batch),
+                scout_apply_fn=self._scout_apply,
+                scout_variables=self._scout_variables,
+                scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)))
             return cand_idx, refined, W
         cand_idx, refined = _predict_case_impl(
             self._apply, self.variables, staged, nv, p.img_size,

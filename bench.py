@@ -155,6 +155,14 @@ def main() -> int:
                          "benches the exhaustive full-res path")
     ap.add_argument("--cascade-scouts", type=int, default=32)
     ap.add_argument("--cascade-size", type=int, default=256)
+    ap.add_argument("--scout-model", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="use the distilled scout checkpoint "
+                         "(resources/synthetic_scout) for the cascade's "
+                         "tier-1 ranking forward when present — the scout "
+                         "only ranks; served masks always come from the "
+                         "main model (probe r25/r26).  --no-scout-model "
+                         "ranks with the full-capacity model")
     args = ap.parse_args()
     # per-mode default: one 140-frame sweep, or one full 840-frame case for
     # the ROI container path
@@ -224,6 +232,30 @@ def main() -> int:
             trained_thr = float(cal.get(key, cal["best_thr"]))
         print(f"[bench] trained synthetic weights, thr={trained_thr}",
               file=sys.stderr)
+        # distilled scout (trains via train_synthetic_tpu.py --img-size 256
+        # --base-c 16 --out resources/synthetic_scout): replaces only the
+        # cascade tier-1 RANKING forward — the served masks always come
+        # from the main model.  Promotion fidelity: probe r26.
+        scout_dir = syn.parent / "synthetic_scout"
+        if (args.cascade and args.scout_model
+                and (scout_dir / "weights.npz").exists()):
+            import dataclasses as _dc
+            scout_thr = 0.0
+            sj = scout_dir / "thr.json"
+            if sj.exists():
+                scal = json.loads(sj.read_text())
+                scout_thr = float(scal.get("best_thr_no_tta",
+                                           scal["best_thr"]))
+            scfg = json.loads((scout_dir / "summary.json").read_text()) \
+                if (scout_dir / "summary.json").exists() else {}
+            cfg = _dc.replace(cfg, predict=_dc.replace(
+                cfg.predict,
+                cascade_scout_weights=str(scout_dir / "weights.npz"),
+                cascade_scout_base_c=int(scfg.get("base_c", 16)),
+                cascade_scout_thr=scout_thr))
+            print(f"[bench] distilled scout base_c="
+                  f"{cfg.predict.cascade_scout_base_c} thr={scout_thr}",
+                  file=sys.stderr)
     else:
         variables = model.init(
             jax.random.PRNGKey(0),

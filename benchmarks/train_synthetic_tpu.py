@@ -41,10 +41,18 @@ def main() -> int:
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--base-c", type=int, default=48)
     ap.add_argument("--seed", type=int, default=2025)
+    ap.add_argument("--out", default=None,
+                    help="output dir (default resources/synthetic; a "
+                         "distilled cascade SCOUT trains with e.g. "
+                         "--img-size 256 --base-c 16 "
+                         "--out resources/synthetic_scout)")
     ap.add_argument("--calibrate-only", action="store_true",
                     help="skip training; recalibrate thresholds from the "
                          "shipped resources/synthetic/weights.npz")
     args = ap.parse_args()
+    global OUT
+    if args.out:
+        OUT = REPO / args.out
 
     import jax
 

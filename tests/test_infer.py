@@ -577,6 +577,67 @@ def test_predict_case_cascade_scout_batch_invariance(tiny_att, rng):
     np.testing.assert_allclose(ac0, ac1, rtol=1e-6, equal_nan=True)
 
 
+def test_predict_case_cascade_distilled_scout_exactness(tiny_att, rng, tmp_path):
+    """A DIFFERENT (random, smaller) scout model with every frame promoted
+    must still be EXACTLY the direct path: tier 2 always runs the main
+    model, so scout quality can only affect WHICH frames promote — and
+    with scouts >= n that set is all of them regardless of the scout."""
+    import dataclasses as dc
+
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = tiny_att
+    scout_model = AttentionASPPUNet.from_config(dc.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(7),
+                                  np.zeros((1, 32, 32, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "scout.npz")
+
+    sweep = _sweep(rng, 6)
+    eng_d = AttAsppEngine(cfg, variables)
+    f_d, m_d, ac_d = eng_d.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=6,
+        cascade_scout_weights=str(tmp_path / "scout.npz"),
+        cascade_scout_base_c=2, cascade_scout_thr=0.31))
+    eng_c = AttAsppEngine(ccfg, variables)
+    f_c, m_c, ac_c = eng_c.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    assert f_c == f_d
+    np.testing.assert_array_equal(m_c, m_d)
+    np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
+
+
+def test_predict_case_cascade_distilled_scout_subset(tiny_att, rng, tmp_path):
+    """scouts < n with a distilled scout: output contract holds."""
+    import dataclasses as dc
+
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = tiny_att
+    scout_model = AttentionASPPUNet.from_config(dc.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(7),
+                                  np.zeros((1, 32, 32, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "scout.npz")
+
+    sweep = _sweep(rng, 8)
+    sweep[5, 8:32, 10:40] = 250
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=3,
+        cascade_scout_weights=str(tmp_path / "scout.npz"),
+        cascade_scout_base_c=2))
+    eng = AttAsppEngine(ccfg, variables)
+    f, m, ac = eng.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    assert 0 <= f < 8
+    assert m.shape == sweep.shape[1:]
+    assert set(np.unique(m)).issubset({0, 1})
+    assert np.isnan(ac) or np.isfinite(ac)
+
+
 def test_predict_case_cascade_exactness_property(tiny_att, rng):
     """Property over random content: whenever every frame is promoted the
     cascade must be EXACTLY the direct path — any divergence would mean
