@@ -542,6 +542,11 @@ def get_parser() -> argparse.ArgumentParser:
                                       "matter for compilation; random "
                                       "init is used without one)")
     wm.add_argument("--cascade", action="store_true")
+    wm.add_argument("--scout_weights", default=None,
+                    help="pre-compile the distilled-scout cascade "
+                         "programs (same flag as predict)")
+    wm.add_argument("--scout_base_c", type=int, default=16)
+    wm.add_argument("--scout_thr", type=float, default=0.0)
     wm.add_argument("--int8", action="store_true")
     wm.add_argument("--lowering",
                     choices=["direct", "int8", "w2d_stage"])

@@ -188,3 +188,38 @@ def test_sharded_cascade_matches_unsharded_direct(setup, rng):
     assert f == f_ref
     np.testing.assert_array_equal(m, m_ref)
     np.testing.assert_allclose(ac, ac_ref, rtol=1e-5, equal_nan=True)
+
+
+def test_sharded_cascade_distilled_scout_matches_direct(setup, rng, tmp_path):
+    """Distilled scout on the mesh: the scout variables replicate and the
+    scout forward shards over the frame axis like the main one; with
+    scouts >= n the output must still equal the unsharded direct path
+    regardless of the scout model (tier 2 runs the main model)."""
+    import dataclasses
+
+    from att_aspp_unet_tpu.models import AttentionASPPUNet
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = setup
+    scout_model = AttentionASPPUNet.from_config(dataclasses.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(11),
+                                  np.zeros((1, 16, 16, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "scout.npz")
+
+    sweep = (rng.random((16, 24, 28)) * 255).astype(np.uint8)
+    sweep[9, 4:20, 4:24] = 250
+    f_ref, m_ref, ac_ref = AttAsppEngine(cfg, variables).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+
+    ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, cascade=True, cascade_img_size=16, cascade_scouts=16,
+        cascade_scout_weights=str(tmp_path / "scout.npz"),
+        cascade_scout_base_c=2, cascade_scout_thr=0.4))
+    mesh = make_mesh(MeshConfig())
+    f, m, ac = AttAsppEngine(ccfg, variables, mesh=mesh).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+    assert f == f_ref
+    np.testing.assert_array_equal(m, m_ref)
+    np.testing.assert_allclose(ac, ac_ref, rtol=1e-5, equal_nan=True)
