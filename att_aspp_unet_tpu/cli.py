@@ -76,6 +76,12 @@ def load_variables(weights: Path, cfg, img_size: int = 64,
     if not weights.exists():
         # fail fast — model init below costs a (remote) compile
         raise FileNotFoundError(f"weights not found: {weights}")
+    if weights.suffix == ".npz":
+        # compact flat archive (benchmarks/train_synthetic_tpu.py exports)
+        # — needs no init template; returning before model.init avoids a
+        # throwaway forward-pass compile on every CLI startup
+        from .utils.npz_weights import load_npz_variables
+        return load_npz_variables(weights)
     if model_tag == "baseline":
         from .models import PlainConvUNet
         model = PlainConvUNet.from_config(cfg.plain_unet)
@@ -88,19 +94,16 @@ def load_variables(weights: Path, cfg, img_size: int = 64,
         # the param template doesn't need the quantized path (uncalibrated
         # int8 would compile a throwaway program); shapes are identical
         model = model.clone(conv_lowering="direct")
-    init = model.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, img_size, img_size, in_ch)),
-                      train=False)
     if weights.suffix in (".pt", ".pth"):
+        # only the torch importers need an init template (shape/layout map)
+        init = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, img_size, img_size, in_ch)),
+                          train=False)
         if model_tag == "baseline":
             from .utils.nnunet_import import load_nnunet_checkpoint
             return load_nnunet_checkpoint(weights, cfg.plain_unet, init)
         from .utils.torch_import import load_torch_checkpoint
         return load_torch_checkpoint(weights, cfg.model, init)
-    if weights.suffix == ".npz":
-        # compact flat archive (benchmarks/train_synthetic_tpu.py exports)
-        from .utils.npz_weights import load_npz_variables
-        return load_npz_variables(weights)
     # orbax checkpoint directory
     import orbax.checkpoint as ocp
 
@@ -241,13 +244,22 @@ def cmd_warm(args) -> int:
                        cfg.preprocess.img_size, 1), jnp.float32),
             train=False)
     engine = AttAsppEngine(cfg, variables)
+    # The threshold is a STATIC jit arg (baked into the HLO), so warming at
+    # the config default would not pre-compile the program a calibrated
+    # deployment actually serves — resolve it exactly like predict does
+    # (--thr override, else thr.json, else the config default).
+    if args.thr is not None:
+        thr = float(args.thr)
+    else:
+        from .infer.predict_cli import load_threshold
+        thr = load_threshold(cfg, Path(args.thr_json))
     for spec in args.shapes.split(","):
         n, h, w = (int(t) for t in spec.lower().split("x"))
         sweep = np.zeros((n, h, w), np.uint8)
         t0 = time.time()
-        engine.predict_case(sweep, (0.28, 0.28),
-                            threshold=cfg.predict.threshold)
-        print(f"[warm] {spec}: compiled+ran in {time.time() - t0:.1f}s")
+        engine.predict_case(sweep, (0.28, 0.28), threshold=thr)
+        print(f"[warm] {spec}: thr {thr:.3f} compiled+ran in "
+              f"{time.time() - t0:.1f}s")
     return 0
 
 
@@ -546,7 +558,15 @@ def get_parser() -> argparse.ArgumentParser:
                     help="pre-compile the distilled-scout cascade "
                          "programs (same flag as predict)")
     wm.add_argument("--scout_base_c", type=int, default=16)
-    wm.add_argument("--scout_thr", type=float, default=0.0)
+    wm.add_argument("--scout_thr", type=float, default=0.0,
+                    help="scout ranking threshold (static jit arg — pass "
+                         "the deployment's calibrated value or the warmed "
+                         "cascade program is not the served one)")
+    wm.add_argument("--thr", type=float, default=None,
+                    help="serving threshold to compile at (static jit arg "
+                         "— must match deployment); default resolves "
+                         "thr.json exactly like predict")
+    wm.add_argument("--thr_json", default="./checkpoints/thr.json")
     wm.add_argument("--int8", action="store_true")
     wm.add_argument("--lowering",
                     choices=["direct", "int8", "w2d_stage"])

@@ -406,11 +406,24 @@ class AttAsppEngine:
             self.variables = jax.device_put(self.variables)
         self.model = model or AttentionASPPUNet.from_config(cfg.model)
         self._apply = functools.partial(self.model.apply, train=False)
+        # Stable reference to the flax apply partial for paths that bypass
+        # whatever _maybe_enable_fast_forward swaps into self._apply.
+        # psi_sweep passes it as a STATIC jit arg — a fresh partial per call
+        # would be a cache miss and a full remote recompile per image.
+        self._flax_apply = self._apply
         self._nval_cache: Dict[int, jax.Array] = {}
         self._init_scout(cfg, mesh)
         if self.model.conv_lowering == "int8" and "quant" in variables:
-            # caller supplied pre-calibrated activation scales
-            self.variables["quant"] = jax.device_put(variables["quant"])
+            # caller supplied pre-calibrated activation scales; match the
+            # params/batch_stats sharding or the first jitted dispatch sees
+            # incompatible devices under a mesh
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+                self.variables["quant"] = jax.device_put(
+                    variables["quant"], replicate(mesh))
+            else:
+                self.variables["quant"] = jax.device_put(variables["quant"])
+            self._prequantize_int8()
         self._maybe_enable_fast_forward()
 
     def _init_scout(self, cfg: Config, mesh) -> None:
@@ -481,6 +494,32 @@ class AttAsppEngine:
                 quant, replicate(self.mesh))
         else:
             self.variables["quant"] = jax.device_put(quant)
+        self._prequantize_int8()
+
+    def _prequantize_int8(self) -> None:
+        """Quantize every Conv3x3 kernel OUTSIDE jit once activation scales
+        exist (``nn/quant.py::prequantize_params``) — bit-identical to the
+        in-graph quantization (``test_prequantized_kernels_bit_identical``)
+        but done once per engine instead of inside every dispatch."""
+        from ..nn.quant import merge_quant, prequantize_params
+
+        # idempotent: a reloaded archive of a prequantized engine already
+        # carries int8 kernels + their w_scale leaves — requantizing the
+        # quantized integers would destroy the original scales
+        if any(getattr(l, "dtype", None) == jnp.int8
+               for l in jax.tree_util.tree_leaves(self.variables["params"])):
+            return
+        # one jitted device program (a device_get/put round trip would pull
+        # the full param tree through the tunnel; eager per-site jnp ops
+        # would pay ~50 ms dispatch latency per conv site)
+        params_q, ws = jax.jit(prequantize_params)(self.variables["params"])
+        new_vars = dict(self.variables)
+        new_vars["params"] = params_q
+        new_vars["quant"] = merge_quant(dict(self.variables["quant"]), ws)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            new_vars = jax.device_put(new_vars, replicate(self.mesh))
+        self.variables = new_vars
 
     def _maybe_enable_fast_forward(self):
         """Swap in the packed BN-folded forward (fused Pallas conv pairs,
@@ -553,7 +592,7 @@ class AttAsppEngine:
         self._ensure_quant(sweep)
         flax_vars = getattr(self, "_flax_variables", self.variables)
         out = _psi_map_impl(
-            functools.partial(self.model.apply, train=False),
+            self._flax_apply,
             flax_vars, jnp.asarray(sweep), p.img_size,
             p.clahe_clip, p.clahe_grid, p.median_kernel)
         return np.asarray(out)

@@ -78,7 +78,8 @@ def _fractional_weights(t: int) -> np.ndarray:
 
 
 # Default interpolation lowering (resolved at trace time when ``impl`` is
-# None).  All impls are bit-identical lookups — see ``_interp_blocks``.
+# None).  The one-hot impls are bit-identical; ``nibble`` can differ ±1
+# grey level on ~0.2 % of pixels — see ``_interp_blocks``.
 _DEFAULT_IMPL = "onehot_bf16"
 
 
@@ -160,8 +161,10 @@ def clahe(frames: jax.Array, clip_limit: float = 1.0,
     """Apply CLAHE to a stack of uint8 frames ``(..., H, W)`` → uint8.
 
     ``impl`` selects the interpolation lowering (see ``_interp_blocks``);
-    ``None`` resolves to the module default at trace time.  All impls are
-    bit-identical.
+    ``None`` resolves to the module default at trace time.  The one-hot
+    impls are bit-identical to each other and to the direct formulation;
+    ``nibble`` exposes the blend to XLA reassociation (±1 grey level on
+    ~0.2 % of pixels — the cv2-parity oracle is pinned on the default).
 
     ``use_pallas``: run step 5 as the VMEM-resident Pallas kernel
     (``ops/pallas/clahe_interp.py``) instead of the batched one-hot matmul.

@@ -28,8 +28,12 @@ def save_npz_variables(variables: Dict, path) -> None:
         for path_t, leaf in leaves:
             key = tree_name + "/" + "/".join(
                 getattr(p, "key", str(p)) for p in path_t)
-            flat[key] = (np.asarray(leaf, np.float16) if narrow
-                         else np.asarray(leaf))
+            arr = np.asarray(leaf)
+            # integer leaves (pre-quantized int8 kernels) keep their exact
+            # dtype — narrowing only applies to float leaves
+            flat[key] = (arr.astype(np.float16)
+                         if narrow and np.issubdtype(arr.dtype, np.floating)
+                         else arr)
     np.savez_compressed(path, **flat)
 
 
@@ -44,7 +48,8 @@ def load_npz_variables(path) -> Dict:
             for p in parts[1:-1]:
                 node = node.setdefault(p, {})
             leaf = z[key]
-            if parts[0] in ("params", "batch_stats"):
+            if (parts[0] in ("params", "batch_stats")
+                    and np.issubdtype(leaf.dtype, np.floating)):
                 leaf = leaf.astype(np.float32)
             node[parts[-1]] = leaf
     return out

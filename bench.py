@@ -596,10 +596,16 @@ def _bench_train(args) -> int:
     B = 8
     # training default is the packed 512-level (cli.py train; NOTES.md r22:
     # ×1.38 over direct at this exact config) — bench what ships
+    lowering = args.lowering or "w2d_stage"
+    if lowering not in ("direct", "w2d_stage"):
+        # int8 is serving-only PTQ (round-to-nearest has zero gradient and
+        # the train state carries no 'quant' collection) — same restriction
+        # as cli.py's train parser
+        raise SystemExit(f"--train supports lowering direct|w2d_stage, "
+                         f"not {lowering!r}")
     cfg = Config(preprocess=PreprocessConfig(img_size=S),
                  model=ModelConfig(base_c=args.base_c,
-                                   conv_lowering=(args.lowering
-                                                  or "w2d_stage")),
+                                   conv_lowering=lowering),
                  train=TrainConfig(batch_size=B))
     mesh = make_mesh_for_batch(MeshConfig(), B)
     rep = replicate(mesh)
