@@ -55,7 +55,9 @@ def _base_config(args) -> "Config":
         cascade=getattr(args, "cascade", False),
         cascade_scout_weights=getattr(args, "scout_weights", None),
         cascade_scout_base_c=getattr(args, "scout_base_c", 16),
-        cascade_scout_thr=getattr(args, "scout_thr", 0.0))
+        cascade_scout_thr=getattr(args, "scout_thr", 0.0),
+        cascade_scout_clahe=not getattr(args, "scout_no_clahe", False),
+        cascade_scout_rank=getattr(args, "scout_rank", "refined"))
     return Config(model=model, train=train, predict=predict)
 
 
@@ -453,6 +455,14 @@ def get_parser() -> argparse.ArgumentParser:
     pr.add_argument("--scout_thr", type=float, default=0.0,
                     help="scout's calibrated rank threshold "
                          "(0 = main threshold)")
+    pr.add_argument("--scout_no_clahe", action="store_true",
+                    help="skip CLAHE in the scout tier's preprocessing "
+                         "(for scouts trained with --no-clahe; tier 2 "
+                         "and served masks are unaffected)")
+    pr.add_argument("--scout_rank", default="refined",
+                    choices=("refined", "closed"),
+                    help="tier-1 rank key: refined-area proxy (default) "
+                         "or closed-area only (cheaper, no hole-fill)")
     pr.add_argument("--viz_att", action="store_true",
                     help="write per-PNG attention panels (raw | prob | "
                          "mean psi | mask) to <out>/panels "

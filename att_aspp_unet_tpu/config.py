@@ -26,7 +26,7 @@ class PreprocessConfig:
     sweep in one XLA program instead of a per-frame OpenCV loop.
     """
 
-    clahe_clip: float = 1.0
+    clahe_clip: float = 1.0      # <= 0 disables CLAHE (min-max→median only)
     clahe_grid: Tuple[int, int] = (8, 8)
     median_kernel: int = 3
     img_size: int = 512          # network input H=W (reference IMG_SIZE=512)
@@ -147,6 +147,11 @@ class AugmentConfig:
     elastic_p: float = 0.25
     elastic_alpha: float = 8.0
     elastic_sigma: float = 3.0
+    # Deterministic CLAHE+median tail applied to every batch (the reference
+    # enhanced its PNGs the same way before training).  False trains a model
+    # on unequalised input — required for a scout whose serving tier skips
+    # CLAHE (PredictConfig.cascade_scout_clahe).
+    use_clahe: bool = True
 
 
 @dataclass(frozen=True)
@@ -253,6 +258,20 @@ class PredictConfig:
     # threshold).
     cascade_scout_weights: Optional[str] = None
     cascade_scout_base_c: int = 16
+    # Scout-tier preprocessing: False skips CLAHE in tier 1 (min-max →
+    # median only; requires a scout trained with AugmentConfig
+    # use_clahe=False and calibrated through a clahe_clip<=0 predict
+    # path).  CLAHE is the scout tier's second-largest cost after its
+    # forward (probe r28: ~80 % of the low-res enhance).  Only meaningful
+    # with cascade_lowres_enhance; tier 2 always enhances per
+    # PreprocessConfig, so served masks are unaffected.
+    cascade_scout_clahe: bool = True
+    # Tier-1 rank key: "refined" = close + pooled-hole-fill proxy (the
+    # tier-2/direct key, candidate_rank_areas), "closed" = closed area
+    # only — ~3.7× cheaper at the scout tier (probe r28) but under-ranks
+    # ring-interior area; promotion fidelity must be re-measured before
+    # flipping.  Tier 2 always ranks with the full refined key.
+    cascade_scout_rank: str = "refined"
     cascade_scout_thr: float = 0.0
 
 

@@ -135,7 +135,8 @@ def _quant_calib_impl(apply_fn, variables, frames, img_size, clahe_clip,
 
 
 def candidate_rank_areas(binary: jax.Array,
-                         close_kernel: int = 7) -> jax.Array:
+                         close_kernel: int = 7,
+                         fill_proxy: bool = True) -> jax.Array:
     """(N, H, W) 0/1 → (N,) rank key ≈ the area each frame would have AFTER
     refinement, in raw-pixel units.
 
@@ -162,12 +163,20 @@ def candidate_rank_areas(binary: jax.Array,
     candidate set; ``PredictConfig.refine_margin`` absorbs it.  Selection
     among the candidates is exact (fully refined masks, cv2-parity
     re-rank).
+
+    ``fill_proxy=False`` drops the pooled hole-fill term (closed area
+    only) — the fill's while_loop propagation is ~73 % of the key's cost
+    at the cascade's scout tier (probe r28), where only a coarse ordering
+    is needed (``PredictConfig.cascade_scout_rank``).  Tier-2/direct
+    ranking always keeps the proxy.
     """
     from ..postprocess.morphology import (binary_closing, fill_holes,
                                           structuring_ellipse)
 
     closed = binary_closing(binary, structuring_ellipse(close_kernel))
     closed_raw = closed.sum(axis=(-2, -1), dtype=jnp.int32)
+    if not fill_proxy:
+        return closed_raw
     pooled = jax.lax.reduce_window(closed, np.uint8(0), jax.lax.max,
                                    (1, 4, 4), (1, 4, 4), "SAME")
     cells = pooled.sum(axis=(-2, -1), dtype=jnp.int32)
@@ -223,7 +232,8 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
     "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
     "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
     "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
-    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr"))
+    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr",
+    "scout_clip", "scout_rank"))
 def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
                                low_size, clahe_clip, clahe_grid,
                                median_kernel, batch, tta, gauss_k, threshold,
@@ -233,7 +243,9 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
                                scout_batch: int = 0,
                                scout_apply_fn=None,
                                scout_variables=None,
-                               scout_thr: float = 0.0):
+                               scout_thr: float = 0.0,
+                               scout_clip: Optional[float] = None,
+                               scout_rank: str = "refined"):
     """Two-tier predict_case: scout ALL frames at ``low_size`` (1/4 the
     FLOPs at the default half resolution), promote the ``n_scout``
     best-ranked to the full ``img_size`` forward, then rank / refine /
@@ -264,6 +276,14 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     Tier 2 always runs the main model on the promoted frames, so the
     all-frames-promote exactness property holds for ANY scout model.
     Defaults (None) fall back to the main model and threshold.
+
+    ``scout_clip`` (default: ``clahe_clip``) is the tier-1 CLAHE clip —
+    ``<= 0`` skips CLAHE in the scout preprocessing (requires
+    ``lowres_enhance`` and a scout trained on unequalised input).
+    ``scout_rank="closed"`` ranks tier 1 by closed area only (no pooled
+    hole-fill proxy).  Both are tier-1-only diets: tier 2's enhancement,
+    ranking, refinement and selection are unchanged, so the served mask
+    for any promoted frame is bit-identical to the direct path's.
     """
     from ..postprocess.refine import _refine_mask_padded
 
@@ -271,6 +291,11 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
         scout_apply_fn, scout_variables = apply_fn, variables
     if not scout_thr:
         scout_thr = threshold
+    if scout_clip is None or not lowres_enhance:
+        # tier 1 without lowres_enhance SHARES tier 2's natively enhanced
+        # frames — a divergent scout preprocessing would force a second
+        # native-res enhancement pass, defeating the diet
+        scout_clip = clahe_clip
     n = sweep.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -278,7 +303,7 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     if lowres_enhance:
         lo_u8 = enhance_frames(
             resize_bilinear(sweep.astype(jnp.float32), (low_size, low_size)),
-            clahe_clip, clahe_grid, median_kernel)
+            scout_clip, clahe_grid, median_kernel)
         x_lo = lo_u8.astype(jnp.float32) / 255.0
     else:
         u8 = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
@@ -287,7 +312,8 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     probs_lo = predict_sweep_probs(scout_apply_fn, scout_variables, x_lo,
                                    scout_batch or batch, hflip=False)
     binary_lo = (probs_lo > scout_thr).astype(jnp.uint8)
-    areas_lo = candidate_rank_areas(binary_lo, close_kernel)
+    areas_lo = candidate_rank_areas(binary_lo, close_kernel,
+                                    fill_proxy=(scout_rank != "closed"))
     areas_lo = jnp.where(idx < n_valid, areas_lo, -1)
     scout_idx = jnp.lexsort((-idx, -areas_lo))[:n_scout]
 
@@ -673,7 +699,11 @@ class AttAsppEngine:
                     pc.frame_batch),
                 scout_apply_fn=self._scout_apply,
                 scout_variables=self._scout_variables,
-                scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)))
+                scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)),
+                scout_clip=(p.clahe_clip
+                            if getattr(pc, "cascade_scout_clahe", True)
+                            else 0.0),
+                scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
             return cand_idx, refined, W
         cand_idx, refined = _predict_case_impl(
             self._apply, self.variables, staged, nv, p.img_size,

@@ -23,9 +23,16 @@ from ..ops import clahe, median3x3, minmax_normalize_u8, resize_bilinear
 def enhance_frames(frames: jax.Array, clahe_clip: float = 1.0,
                    clahe_grid: Tuple[int, int] = (8, 8),
                    median_kernel: int = 3) -> jax.Array:
-    """min-max → CLAHE → median-3 on a stack of frames; returns uint8."""
+    """min-max → CLAHE → median-3 on a stack of frames; returns uint8.
+
+    ``clahe_clip <= 0`` disables the CLAHE step entirely (min-max → median
+    only) — used by the cascade's no-CLAHE scout tier, whose ranking model
+    is trained on unequalised input (``PredictConfig.cascade_scout_clahe``).
+    cv2's own ``clipLimit`` domain is positive, so 0 is unambiguous.
+    """
     u8 = minmax_normalize_u8(frames)
-    u8 = clahe(u8, clahe_clip, clahe_grid)
+    if clahe_clip > 0:
+        u8 = clahe(u8, clahe_clip, clahe_grid)
     if median_kernel == 3:
         u8 = median3x3(u8)
     elif median_kernel not in (0, 1):

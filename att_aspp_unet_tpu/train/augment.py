@@ -204,7 +204,10 @@ def augment_batch(key, images_u8: jax.Array, masks_u8: jax.Array,
         masks_u8 = (mask > 127).astype(jnp.uint8)
     else:
         masks_u8 = (masks_u8 > 127).astype(jnp.uint8)
-    enhanced = median3x3(clahe(images_u8, 1.0, (8, 8)))
+    # deterministic serving-parity tail; cfg.use_clahe=False trains on
+    # unequalised input (no-CLAHE cascade scouts)
+    enhanced = median3x3(clahe(images_u8, 1.0, (8, 8))
+                         if cfg.use_clahe else images_u8)
     x = (enhanced.astype(jnp.float32) / 255.0)[..., None]
     y = masks_u8.astype(jnp.float32)[..., None]
     return x, y

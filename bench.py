@@ -252,9 +252,13 @@ def main() -> int:
                 cfg.predict,
                 cascade_scout_weights=str(scout_dir / "weights.npz"),
                 cascade_scout_base_c=int(scfg.get("base_c", 16)),
-                cascade_scout_thr=scout_thr))
+                cascade_scout_thr=scout_thr,
+                # a scout trained with --no-clahe records use_clahe=false
+                # in its summary and must be served without CLAHE
+                cascade_scout_clahe=bool(scfg.get("use_clahe", True))))
             print(f"[bench] distilled scout base_c="
-                  f"{cfg.predict.cascade_scout_base_c} thr={scout_thr}",
+                  f"{cfg.predict.cascade_scout_base_c} thr={scout_thr} "
+                  f"clahe={cfg.predict.cascade_scout_clahe}",
                   file=sys.stderr)
     else:
         variables = model.init(

@@ -46,6 +46,11 @@ def main() -> int:
                          "distilled cascade SCOUT trains with e.g. "
                          "--img-size 256 --base-c 16 "
                          "--out resources/synthetic_scout)")
+    ap.add_argument("--no-clahe", action="store_true",
+                    help="train on unequalised input (AugmentConfig "
+                         "use_clahe=False) and calibrate through a "
+                         "clahe_clip<=0 predict path — for a cascade "
+                         "scout served with cascade_scout_clahe=False")
     ap.add_argument("--calibrate-only", action="store_true",
                     help="skip training; recalibrate thresholds from the "
                          "shipped resources/synthetic/weights.npz")
@@ -80,11 +85,14 @@ def main() -> int:
           f"({time.time() - t0:.0f}s)", file=sys.stderr)
 
     cfg = Config(
-        preprocess=PreprocessConfig(img_size=S),
+        preprocess=PreprocessConfig(
+            img_size=S, clahe_clip=0.0 if args.no_clahe else 1.0),
         model=ModelConfig(base_c=args.base_c),
         train=TrainConfig(batch_size=8, epochs=args.epochs, lr=3e-4,
                           early_stop_patience=8,
-                          augment=AugmentConfig(elastic_p=0.0)),
+                          augment=AugmentConfig(
+                              elastic_p=0.0,
+                              use_clahe=not args.no_clahe)),
         calibrate=CalibrateConfig(thr_lo=0.35, thr_hi=0.6, thr_steps=11),
     )
     tr_ds = ArrayDataset(tr_x, tr_y, (tr_y.max(axis=(1, 2)) > 0))
@@ -153,6 +161,7 @@ def main() -> int:
         "best_thr_no_tta": out["no_tta"]["best_thr"],
         "best_thr_mean_dice": float(np.max(out["tta"]["mean_dice"])),
         "img_size": S, "base_c": args.base_c,
+        "use_clahe": not args.no_clahe,
         "n_train": args.n_train, "n_val": args.n_val,
     }, indent=2)
     print(json.dumps({"best_val_dice": res["best_dice"],

@@ -119,3 +119,26 @@ def test_warp_pair_batch_matches_map_coordinates():
                                    np.asarray(ref_img), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(got_msk[i]),
                                       np.asarray(ref_msk))
+
+
+def test_augment_batch_use_clahe_false():
+    """AugmentConfig.use_clahe=False drops the deterministic CLAHE from the
+    batch tail (median-3 of the raw u8 image only) — the training input of
+    a no-CLAHE cascade scout must match its serving preprocessing."""
+    from att_aspp_unet_tpu.ops import median3x3
+    from att_aspp_unet_tpu.train.augment import augment_batch
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 32, 32)).astype(np.uint8)
+    masks = (rng.random((2, 32, 32)) > 0.5).astype(np.uint8) * 255
+
+    x, _ = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                         jnp.asarray(masks),
+                         AugmentConfig(use_clahe=False), train=False)
+    want = np.asarray(median3x3(jnp.asarray(imgs))).astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(x)[..., 0], want, atol=1e-7)
+
+    x_cl, _ = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                            jnp.asarray(masks),
+                            AugmentConfig(use_clahe=True), train=False)
+    assert not np.array_equal(np.asarray(x_cl), np.asarray(x))

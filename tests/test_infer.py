@@ -610,6 +610,73 @@ def test_predict_case_cascade_distilled_scout_exactness(tiny_att, rng, tmp_path)
     np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
 
 
+def test_predict_case_cascade_scout_diets_match_direct(tiny_att, rng):
+    """The tier-1 diets (no-CLAHE scout preprocessing + closed-only rank
+    key) touch ONLY which frames promote — with every frame promoted the
+    output must stay exactly the direct path, individually and combined."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 6)
+    sweep[1, 8:32, 10:40] = 250
+    eng_d = AttAsppEngine(cfg, variables)
+    f_d, m_d, ac_d = eng_d.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+
+    for diet in ({"cascade_scout_clahe": False},
+                 {"cascade_scout_rank": "closed"},
+                 {"cascade_scout_clahe": False,
+                  "cascade_scout_rank": "closed"}):
+        ccfg = dc.replace(cfg, predict=dc.replace(
+            cfg.predict, cascade=True, cascade_img_size=32,
+            cascade_scouts=6, cascade_lowres_enhance=True, **diet))
+        f_c, m_c, ac_c = AttAsppEngine(ccfg, variables).predict_case(
+            sweep, (0.28, 0.28), threshold=0.5)
+        assert f_c == f_d, diet
+        np.testing.assert_array_equal(m_c, m_d)
+        np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
+
+
+def test_candidate_rank_areas_fill_proxy_off_is_closed_area():
+    """fill_proxy=False is exactly the closed-area sum: a hollow ring's
+    interior counts under the default key but NOT under the closed-only
+    key (the close's kernel is smaller than the ring's inner hole)."""
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.infer.engine import candidate_rank_areas
+    from att_aspp_unet_tpu.postprocess.morphology import (
+        binary_closing, structuring_ellipse)
+
+    ring = np.zeros((48, 48), np.uint8)
+    ring[8:40, 8:40] = 1
+    ring[14:34, 14:34] = 0              # 20-px hole: survives a 7-px close
+    blob = np.zeros((48, 48), np.uint8)
+    blob[8:40, 8:40] = 1
+    stack = jnp.asarray(np.stack([ring, blob]))
+
+    closed_only = np.asarray(candidate_rank_areas(stack, 7,
+                                                  fill_proxy=False))
+    closed_ref = np.asarray(binary_closing(
+        stack, structuring_ellipse(7)).sum(axis=(-2, -1)))
+    np.testing.assert_array_equal(closed_only, closed_ref)
+
+    full = np.asarray(candidate_rank_areas(stack, 7))
+    assert full[0] > closed_only[0]     # the proxy credits the interior
+    assert closed_only[0] < closed_only[1]
+
+
+def test_enhance_frames_clip0_skips_clahe(rng):
+    """clahe_clip <= 0 disables CLAHE: min-max → median-3 only."""
+    import jax.numpy as jnp
+
+    from att_aspp_unet_tpu.ops import median3x3, minmax_normalize_u8
+    from att_aspp_unet_tpu.preprocess import enhance_frames
+
+    frames = rng.integers(0, 255, (3, 40, 40)).astype(np.float32)
+    got = np.asarray(enhance_frames(jnp.asarray(frames), 0.0, (8, 8), 3))
+    want = np.asarray(median3x3(minmax_normalize_u8(jnp.asarray(frames))))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_predict_case_cascade_distilled_scout_subset(tiny_att, rng, tmp_path):
     """scouts < n with a distilled scout: output contract holds."""
     import dataclasses as dc
