@@ -56,7 +56,9 @@ def _base_config(args) -> "Config":
         cascade_scout_weights=getattr(args, "scout_weights", None),
         cascade_scout_base_c=getattr(args, "scout_base_c", 16),
         cascade_scout_thr=getattr(args, "scout_thr", 0.0),
-        cascade_scout_clahe=not getattr(args, "scout_no_clahe", False),
+        # None = auto-detect from the scout's sibling summary.json
+        cascade_scout_clahe=(False if getattr(args, "scout_no_clahe", False)
+                             else None),
         cascade_scout_rank=getattr(args, "scout_rank", "refined"))
     return Config(model=model, train=train, predict=predict)
 
@@ -458,7 +460,9 @@ def get_parser() -> argparse.ArgumentParser:
     pr.add_argument("--scout_no_clahe", action="store_true",
                     help="skip CLAHE in the scout tier's preprocessing "
                          "(for scouts trained with --no-clahe; tier 2 "
-                         "and served masks are unaffected)")
+                         "and served masks are unaffected).  Usually "
+                         "unnecessary: the engine auto-reads use_clahe "
+                         "from the summary.json next to the weights")
     pr.add_argument("--scout_rank", default="refined",
                     choices=("refined", "closed"),
                     help="tier-1 rank key: refined-area proxy (default) "

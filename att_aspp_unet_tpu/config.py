@@ -261,16 +261,21 @@ class PredictConfig:
     # Scout-tier preprocessing: False skips CLAHE in tier 1 (min-max →
     # median only; requires a scout trained with AugmentConfig
     # use_clahe=False and calibrated through a clahe_clip<=0 predict
-    # path).  CLAHE is the scout tier's second-largest cost after its
-    # forward (probe r28: ~80 % of the low-res enhance).  Only meaningful
-    # with cascade_lowres_enhance; tier 2 always enhances per
+    # path).  None = AUTO: read ``use_clahe`` from the summary.json next
+    # to cascade_scout_weights (train_synthetic_tpu writes it), so a
+    # scout can never be served with the wrong preprocessing by default;
+    # no summary → True.  Measured (probe r29, trained weights): 12/12
+    # identical picks, 840-frame case ×1.31 (2367 → 3100 f/s).  Only
+    # meaningful with cascade_lowres_enhance; tier 2 always enhances per
     # PreprocessConfig, so served masks are unaffected.
-    cascade_scout_clahe: bool = True
+    cascade_scout_clahe: Optional[bool] = None
     # Tier-1 rank key: "refined" = close + pooled-hole-fill proxy (the
     # tier-2/direct key, candidate_rank_areas), "closed" = closed area
-    # only — ~3.7× cheaper at the scout tier (probe r28) but under-ranks
-    # ring-interior area; promotion fidelity must be re-measured before
-    # flipping.  Tier 2 always ranks with the full refined key.
+    # only.  r28's standalone programs priced the fill proxy at ~73 % of
+    # the key, but in the FUSED cascade it costs ~1 % (probe r29 — the
+    # r15c/r18d lesson again: standalone-program costs don't survive
+    # in-graph fusion).  "refined" stays the default; "closed" remains a
+    # measured, fidelity-verified opt-out (12/12 picks identical).
     cascade_scout_rank: str = "refined"
     cascade_scout_thr: float = 0.0
 

@@ -21,6 +21,8 @@ are independent, so sweep inference is pure data parallelism over ICI.
 from __future__ import annotations
 
 import functools
+import json
+from pathlib import Path
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -465,10 +467,26 @@ class AttAsppEngine:
         """
         self._scout_apply = None
         self._scout_variables = None
+        self._scout_clahe = True
         pc = cfg.predict
         path = getattr(pc, "cascade_scout_weights", None)
+        flag = getattr(pc, "cascade_scout_clahe", None)
+        if flag is not None:
+            self._scout_clahe = bool(flag)
         if not (getattr(pc, "cascade", False) and path):
             return
+        if flag is None:
+            # AUTO: a scout trained with --no-clahe records
+            # use_clahe=false in the summary.json next to its weights —
+            # serving it through CLAHE input it never saw would corrupt
+            # tier-1 ranking silently
+            summary = Path(path).parent / "summary.json"
+            if summary.exists():
+                try:
+                    self._scout_clahe = bool(json.loads(
+                        summary.read_text()).get("use_clahe", True))
+                except (ValueError, OSError):
+                    pass
         import dataclasses as _dc
 
         from ..utils.npz_weights import load_npz_variables
@@ -700,9 +718,7 @@ class AttAsppEngine:
                 scout_apply_fn=self._scout_apply,
                 scout_variables=self._scout_variables,
                 scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)),
-                scout_clip=(p.clahe_clip
-                            if getattr(pc, "cascade_scout_clahe", True)
-                            else 0.0),
+                scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
                 scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
             return cand_idx, refined, W
         cand_idx, refined = _predict_case_impl(

@@ -236,7 +236,12 @@ def main() -> int:
         # --base-c 16 --out resources/synthetic_scout): replaces only the
         # cascade tier-1 RANKING forward — the served masks always come
         # from the main model.  Promotion fidelity: probe r26.
-        scout_dir = syn.parent / "synthetic_scout"
+        # prefer the no-CLAHE scout: 12/12 pick agreement and ×1.31 on
+        # the case vs the CLAHE scout (probe r29 — tier-1 CLAHE was the
+        # scout tier's second-largest cost, probe r28)
+        scout_dir = syn.parent / "synthetic_scout_noclahe"
+        if not (scout_dir / "weights.npz").exists():
+            scout_dir = syn.parent / "synthetic_scout"
         if (args.cascade and args.scout_model
                 and (scout_dir / "weights.npz").exists()):
             import dataclasses as _dc
@@ -252,13 +257,12 @@ def main() -> int:
                 cfg.predict,
                 cascade_scout_weights=str(scout_dir / "weights.npz"),
                 cascade_scout_base_c=int(scfg.get("base_c", 16)),
-                cascade_scout_thr=scout_thr,
-                # a scout trained with --no-clahe records use_clahe=false
-                # in its summary and must be served without CLAHE
-                cascade_scout_clahe=bool(scfg.get("use_clahe", True))))
-            print(f"[bench] distilled scout base_c="
+                cascade_scout_thr=scout_thr))
+            # cascade_scout_clahe stays None: the engine auto-reads
+            # use_clahe from the scout's sibling summary.json
+            print(f"[bench] distilled scout {scout_dir.name} base_c="
                   f"{cfg.predict.cascade_scout_base_c} thr={scout_thr} "
-                  f"clahe={cfg.predict.cascade_scout_clahe}",
+                  f"clahe={scfg.get('use_clahe', True)}",
                   file=sys.stderr)
     else:
         variables = model.init(

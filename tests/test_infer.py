@@ -636,6 +636,38 @@ def test_predict_case_cascade_scout_diets_match_direct(tiny_att, rng):
         np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
 
 
+def test_scout_clahe_autodetect_from_summary(tiny_att, tmp_path):
+    """cascade_scout_clahe=None auto-reads use_clahe from the summary.json
+    next to the scout weights (a no-CLAHE scout must never be served CLAHE
+    input by default); an explicit value always wins."""
+    import dataclasses as dc
+    import json as _json
+
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = tiny_att
+    scout_model = AttentionASPPUNet.from_config(dc.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(7),
+                                  np.zeros((1, 32, 32, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "weights.npz")
+
+    def eng(**kw):
+        ccfg = dc.replace(cfg, predict=dc.replace(
+            cfg.predict, cascade=True,
+            cascade_scout_weights=str(tmp_path / "weights.npz"),
+            cascade_scout_base_c=2, **kw))
+        return AttAsppEngine(ccfg, variables)
+
+    assert eng()._scout_clahe is True            # no summary → default
+    (tmp_path / "summary.json").write_text(_json.dumps(
+        {"use_clahe": False, "base_c": 2}))
+    assert eng()._scout_clahe is False           # auto-detected
+    assert eng(cascade_scout_clahe=True)._scout_clahe is True   # explicit
+    assert eng(cascade_scout_clahe=False)._scout_clahe is False
+
+
 def test_candidate_rank_areas_fill_proxy_off_is_closed_area():
     """fill_proxy=False is exactly the closed-area sum: a hollow ring's
     interior counts under the default key but NOT under the closed-only
