@@ -167,10 +167,12 @@ def candidate_rank_areas(binary: jax.Array,
     re-rank).
 
     ``fill_proxy=False`` drops the pooled hole-fill term (closed area
-    only) — the fill's while_loop propagation is ~73 % of the key's cost
-    at the cascade's scout tier (probe r28), where only a coarse ordering
-    is needed (``PredictConfig.cascade_scout_rank``).  Tier-2/direct
-    ranking always keeps the proxy.
+    only) — a measured opt-out for the cascade's scout tier where only a
+    coarse ordering is needed (``PredictConfig.cascade_scout_rank``).
+    Standalone programs priced the fill at ~73 % of the key (probe r28),
+    but fused into the real cascade it costs ~1 % (probe r29), so
+    "refined" stays the default.  Tier-2/direct ranking always keeps the
+    proxy.
     """
     from ..postprocess.morphology import (binary_closing, fill_holes,
                                           structuring_ellipse)
