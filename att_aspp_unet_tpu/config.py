@@ -231,7 +231,13 @@ class PredictConfig:
     # (128-frame subsample + 224² crop, model_attention_aspp.py:45-55);
     # this keeps every frame in play at tier 1.
     cascade: bool = False
-    cascade_img_size: int = 256      # scout forward resolution (1/4 FLOPs)
+    # Scout forward resolution.  When cascade_scout_weights points at a
+    # checkpoint whose sibling summary.json declares img_size, the engine
+    # adopts THAT size (a scout must run at the resolution it was trained
+    # at — off-distribution scouting is the failure that sank scout-192,
+    # NOTES.md r21; the trained-at-128 scout is the r31 win) and this
+    # field only applies to scout-less cascades.
+    cascade_img_size: int = 256
     # Frames promoted to the full forward.  16 == topk+refine_margin, so
     # every promoted frame is refined at full res; promote-count fidelity
     # was swept on trained weights (probe r30, 12 seeds): pick agreement

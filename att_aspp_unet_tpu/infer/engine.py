@@ -470,6 +470,7 @@ class AttAsppEngine:
         self._scout_apply = None
         self._scout_variables = None
         self._scout_clahe = True
+        self._scout_img_size = None
         pc = cfg.predict
         path = getattr(pc, "cascade_scout_weights", None)
         flag = getattr(pc, "cascade_scout_clahe", None)
@@ -477,18 +478,22 @@ class AttAsppEngine:
             self._scout_clahe = bool(flag)
         if not (getattr(pc, "cascade", False) and path):
             return
-        if flag is None:
-            # AUTO: a scout trained with --no-clahe records
-            # use_clahe=false in the summary.json next to its weights —
-            # serving it through CLAHE input it never saw would corrupt
-            # tier-1 ranking silently
-            summary = Path(path).parent / "summary.json"
-            if summary.exists():
-                try:
-                    self._scout_clahe = bool(json.loads(
-                        summary.read_text()).get("use_clahe", True))
-                except (ValueError, OSError):
-                    pass
+        # AUTO from the summary.json next to the weights: a scout trained
+        # with --no-clahe records use_clahe=false (serving it through
+        # CLAHE input it never saw would corrupt tier-1 ranking silently),
+        # and its training img_size pins the tier-1 resolution — running
+        # a scout at an alien resolution is exactly the off-distribution
+        # failure that sank the scout-192 experiment (NOTES.md r21/r31).
+        summary = Path(path).parent / "summary.json"
+        if summary.exists():
+            try:
+                meta = json.loads(summary.read_text())
+            except (ValueError, OSError):
+                meta = {}
+            if flag is None:
+                self._scout_clahe = bool(meta.get("use_clahe", True))
+            if meta.get("img_size"):
+                self._scout_img_size = int(meta["img_size"])
         import dataclasses as _dc
 
         from ..utils.npz_weights import load_npz_variables
@@ -709,7 +714,8 @@ class AttAsppEngine:
             n_scout = max(m, min(pc.cascade_scouts, staged.shape[0]))
             cand_idx, refined = _predict_case_cascade_impl(
                 self._apply, self.variables, staged, nv, p.img_size,
-                pc.cascade_img_size, p.clahe_clip, p.clahe_grid,
+                self._scout_img_size or pc.cascade_img_size,
+                p.clahe_clip, p.clahe_grid,
                 p.median_kernel, pc.frame_batch, pc.tta_hflip,
                 pc.gaussian_kernel, float(thr), n_scout, m, pc.min_area_px,
                 pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W),

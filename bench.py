@@ -154,7 +154,10 @@ def main() -> int:
                          "median AC error <= direct's.  --no-cascade "
                          "benches the exhaustive full-res path")
     ap.add_argument("--cascade-scouts", type=int, default=16)
-    ap.add_argument("--cascade-size", type=int, default=256)
+    ap.add_argument("--cascade-size", type=int, default=None,
+                    help="scout forward resolution; default = the distilled "
+                         "scout's native training size (128 for the shipping "
+                         "scout, probe r31), else 256")
     ap.add_argument("--scout-model", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the distilled scout checkpoint "
@@ -203,7 +206,7 @@ def main() -> int:
         predict=PredictConfig(frame_batch=args.batch,
                               tta_hflip=bool(args.tta),
                               cascade=bool(args.cascade),
-                              cascade_img_size=args.cascade_size,
+                              cascade_img_size=args.cascade_size or 256,
                               cascade_scouts=args.cascade_scouts),
     )
     model = AttentionASPPUNet.from_config(cfg.model)
@@ -236,12 +239,17 @@ def main() -> int:
         # --base-c 16 --out resources/synthetic_scout): replaces only the
         # cascade tier-1 RANKING forward — the served masks always come
         # from the main model.  Promotion fidelity: probe r26.
-        # prefer the no-CLAHE scout: 12/12 pick agreement and ×1.31 on
-        # the case vs the CLAHE scout (probe r29 — tier-1 CLAHE was the
-        # scout tier's second-largest cost, probe r28)
-        scout_dir = syn.parent / "synthetic_scout_noclahe"
-        if not (scout_dir / "weights.npz").exists():
-            scout_dir = syn.parent / "synthetic_scout"
+        # prefer the 128-px no-CLAHE scout: trained AT 128 px (unlike
+        # r21's rejected scout-192, which ran the 512-trained main model
+        # at an alien resolution), 12/12 pick agreement with the direct
+        # engine, 12/12 direct-pick survival in the promoted set, and
+        # ×1.77 on the case vs the 256-px scout (probe r31); next the
+        # 256-px no-CLAHE scout (probe r29), then the CLAHE scout (r26)
+        for name in ("synthetic_scout_noclahe128", "synthetic_scout_noclahe",
+                     "synthetic_scout"):
+            scout_dir = syn.parent / name
+            if (scout_dir / "weights.npz").exists():
+                break
         if (args.cascade and args.scout_model
                 and (scout_dir / "weights.npz").exists()):
             import dataclasses as _dc
@@ -253,15 +261,21 @@ def main() -> int:
                                            scal["best_thr"]))
             scfg = json.loads((scout_dir / "summary.json").read_text()) \
                 if (scout_dir / "summary.json").exists() else {}
+            # the scout's native training size pins tier-1 resolution
+            # (engine._load_scout adopts it from summary.json; an explicit
+            # --cascade-size only applies with --no-scout-model)
             cfg = _dc.replace(cfg, predict=_dc.replace(
                 cfg.predict,
+                cascade_img_size=int(scfg.get("img_size",
+                                              args.cascade_size or 256)),
                 cascade_scout_weights=str(scout_dir / "weights.npz"),
                 cascade_scout_base_c=int(scfg.get("base_c", 16)),
                 cascade_scout_thr=scout_thr))
             # cascade_scout_clahe stays None: the engine auto-reads
             # use_clahe from the scout's sibling summary.json
             print(f"[bench] distilled scout {scout_dir.name} base_c="
-                  f"{cfg.predict.cascade_scout_base_c} thr={scout_thr} "
+                  f"{cfg.predict.cascade_scout_base_c} size="
+                  f"{cfg.predict.cascade_img_size} thr={scout_thr} "
                   f"clahe={scfg.get('use_clahe', True)}",
                   file=sys.stderr)
     else:
@@ -403,7 +417,7 @@ def main() -> int:
         line["serving_mode"] = "cascade" if args.cascade else "direct"
         if args.cascade:
             line["cascade"] = {"scouts": args.cascade_scouts,
-                               "low_size": args.cascade_size}
+                               "low_size": cfg.predict.cascade_img_size}
 
         # ---- full challenge case (the deployment unit) ----
         # The container's input is the whole stacked .mha — one CASE of

@@ -668,6 +668,44 @@ def test_scout_clahe_autodetect_from_summary(tiny_att, tmp_path):
     assert eng(cascade_scout_clahe=False)._scout_clahe is False
 
 
+def test_scout_img_size_autodetect_from_summary(tiny_att, rng, tmp_path):
+    """A scout's summary.json img_size pins the tier-1 resolution: the
+    engine adopts it over a conflicting cascade_img_size (a scout must run
+    at the resolution it was trained at — NOTES.md r21/r31), and the
+    adopted size flows through the real cascade path: with every frame
+    promoted the output is still exactly the direct engine's."""
+    import dataclasses as dc
+    import json as _json
+
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = tiny_att
+    scout_model = AttentionASPPUNet.from_config(dc.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(7),
+                                  np.zeros((1, 16, 16, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "weights.npz")
+    (tmp_path / "summary.json").write_text(_json.dumps(
+        {"img_size": 16, "base_c": 2, "use_clahe": True}))
+
+    sweep = _sweep(rng, 6)
+    f_d, m_d, ac_d = AttAsppEngine(cfg, variables).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+
+    # conflicting cascade_img_size=32 — the summary's 16 must win
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=6,
+        cascade_scout_weights=str(tmp_path / "weights.npz"),
+        cascade_scout_base_c=2))
+    eng = AttAsppEngine(ccfg, variables)
+    assert eng._scout_img_size == 16
+    f_c, m_c, ac_c = eng.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    assert f_c == f_d
+    np.testing.assert_array_equal(m_c, m_d)
+    np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
+
+
 def test_candidate_rank_areas_fill_proxy_off_is_closed_area():
     """fill_proxy=False is exactly the closed-area sum: a hollow ring's
     interior counts under the default key but NOT under the closed-only
