@@ -54,7 +54,8 @@ def _base_config(args) -> "Config":
     predict = PredictConfig(
         cascade=getattr(args, "cascade", False),
         cascade_scout_weights=getattr(args, "scout_weights", None),
-        cascade_scout_base_c=getattr(args, "scout_base_c", 16),
+        # None = auto-detect from the scout's sibling summary.json
+        cascade_scout_base_c=getattr(args, "scout_base_c", None),
         cascade_scout_thr=getattr(args, "scout_thr", 0.0),
         # None = auto-detect from the scout's sibling summary.json
         cascade_scout_clahe=(False if getattr(args, "scout_no_clahe", False)
@@ -129,6 +130,18 @@ def cmd_train(args) -> int:
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, conv_lowering=getattr(args, "lowering", None)
         or "w2d_stage"))
+    # scout-distillation knobs (NOTES.md r26/r29/r31): a cascade tier-1
+    # ranker is just this train loop at a lower resolution, smaller base_c
+    # and optionally a CLAHE-free enhance chain — the choices are recorded
+    # in summary.json below so serving auto-adopts them
+    no_clahe = bool(getattr(args, "no_clahe", False))
+    cfg = dataclasses.replace(
+        cfg,
+        preprocess=dataclasses.replace(
+            cfg.preprocess, img_size=getattr(args, "img_size", 512),
+            clahe_clip=0.0 if no_clahe else cfg.preprocess.clahe_clip),
+        train=dataclasses.replace(cfg.train, augment=dataclasses.replace(
+            cfg.train.augment, use_clahe=not no_clahe)))
     imgs, msks = collect_pairs(Path(args.train_dir) / "images",
                                Path(args.train_dir) / "masks")
     if args.neg_dir:
@@ -160,6 +173,38 @@ def cmd_train(args) -> int:
     out = fit(cfg, train_ds, val_ds, Path(args.output_dir),
               init_variables=init_variables)
     print(f"best Dice {out['best_dice']:.4f} → {out['best_path']}")
+
+    out_root = Path(args.output_dir)
+    if getattr(args, "export_npz", False):
+        # compact f16 weights next to summary.json — the exact layout
+        # predict --scout_weights / bench.py consume (the serving forward
+        # runs bf16 anyway; resources/synthetic* ship this way)
+        import jax
+
+        from .train.train_loop import create_train_state, load_checkpoint
+        from .utils.npz_weights import save_npz_variables
+
+        state = create_train_state(cfg.model, cfg.train, steps_per_epoch=1,
+                                   rng=jax.random.PRNGKey(0),
+                                   sample_hw=(S, S))
+        state, _ = load_checkpoint(Path(out["best_path"]), state)
+        save_npz_variables({"params": jax.device_get(state.params),
+                            "batch_stats": jax.device_get(state.batch_stats)},
+                           out_root / "weights.npz")
+        print(f"exported {out_root / 'weights.npz'}")
+    # provenance + the serving knobs the engine auto-adopts when these
+    # weights rank a cascade tier: infer/engine.py reads img_size and
+    # use_clahe from the summary.json next to the weights so a scout is
+    # never served a resolution or preprocessing it wasn't trained on
+    from .io import write_json
+    write_json(out_root / "summary.json", {
+        "best_val_dice": out["best_dice"],
+        "epochs_run": out["epochs_run"],
+        "img_size": S,
+        "base_c": cfg.model.base_c,
+        "use_clahe": not no_clahe,
+        "stage": cfg.train.stage,
+    }, indent=2)
     return 0
 
 
@@ -410,6 +455,20 @@ def get_parser() -> argparse.ArgumentParser:
                         "flag, test_ablation.py:895; same as --edge_w 0)")
     t.add_argument("--neg_bce_w", type=float, default=0.05)
     t.add_argument("--differential_lr", action="store_true")
+    t.add_argument("--img_size", type=int, default=512,
+                   help="network input resolution (reference IMG_SIZE=512, "
+                        "…stage.py:29); lower it to distill a cascade "
+                        "tier-1 scout — serving auto-adopts the trained "
+                        "size from summary.json (NOTES.md r31)")
+    t.add_argument("--no_clahe", action="store_true",
+                   help="train with a CLAHE-free enhance chain; a scout "
+                        "trained this way skips tier-1 CLAHE at serving "
+                        "time (recorded in summary.json, NOTES.md r29)")
+    t.add_argument("--export_npz", action="store_true",
+                   help="after training, export the best checkpoint as "
+                        "compact f16 weights.npz + summary.json in "
+                        "--output_dir (the layout predict --scout_weights "
+                        "and bench.py consume)")
     t.add_argument("--lowering", choices=["direct", "w2d_stage"],
                    default="w2d_stage",
                    help="conv lowering for the train step (default "
@@ -453,7 +512,10 @@ def get_parser() -> argparse.ArgumentParser:
                          "cascade's tier-1 ranking forward (served masks "
                          "always come from the main model); e.g. "
                          "resources/synthetic_scout/weights.npz")
-    pr.add_argument("--scout_base_c", type=int, default=16)
+    pr.add_argument("--scout_base_c", type=int, default=None,
+                    help="scout width; default auto-reads base_c from "
+                         "the summary.json next to --scout_weights "
+                         "(fallback 16)")
     pr.add_argument("--scout_thr", type=float, default=0.0,
                     help="scout's calibrated rank threshold "
                          "(0 = main threshold)")
@@ -571,7 +633,10 @@ def get_parser() -> argparse.ArgumentParser:
     wm.add_argument("--scout_weights", default=None,
                     help="pre-compile the distilled-scout cascade "
                          "programs (same flag as predict)")
-    wm.add_argument("--scout_base_c", type=int, default=16)
+    wm.add_argument("--scout_base_c", type=int, default=None,
+                    help="scout width; default auto-reads base_c from "
+                         "the summary.json next to --scout_weights "
+                         "(fallback 16)")
     wm.add_argument("--scout_thr", type=float, default=0.0,
                     help="scout ranking threshold (static jit arg — pass "
                          "the deployment's calibrated value or the warmed "

@@ -269,9 +269,13 @@ class PredictConfig:
     # never depend on scout quality; promotion fidelity is measured in
     # probe r26.  cascade_scout_thr: the scout's own calibrated
     # probability threshold for the rank mask (0 = use the main
-    # threshold).
+    # threshold).  cascade_scout_base_c: None = AUTO — read ``base_c``
+    # from the summary.json next to the weights (``cli train
+    # --export_npz`` records it), fallback 16; an explicit value
+    # overrides.  A mismatch is a hard shape error at load, never a
+    # silent wrong-net serve.
     cascade_scout_weights: Optional[str] = None
-    cascade_scout_base_c: int = 16
+    cascade_scout_base_c: Optional[int] = None
     # Scout-tier preprocessing: False skips CLAHE in tier 1 (min-max →
     # median only; requires a scout trained with AugmentConfig
     # use_clahe=False and calibrated through a clahe_clip<=0 predict

@@ -481,10 +481,15 @@ class AttAsppEngine:
         # AUTO from the summary.json next to the weights: a scout trained
         # with --no-clahe records use_clahe=false (serving it through
         # CLAHE input it never saw would corrupt tier-1 ranking silently),
-        # and its training img_size pins the tier-1 resolution — running
+        # its training img_size pins the tier-1 resolution — running
         # a scout at an alien resolution is exactly the off-distribution
-        # failure that sank the scout-192 experiment (NOTES.md r21/r31).
+        # failure that sank the scout-192 experiment (NOTES.md r21/r31) —
+        # and its base_c pins the scout architecture (a width mismatch is
+        # a hard shape error at load, so auto-adoption can never serve
+        # the wrong net silently).  ``cli train --export_npz`` writes all
+        # three next to the weights.
         summary = Path(path).parent / "summary.json"
+        meta = {}
         if summary.exists():
             try:
                 meta = json.loads(summary.read_text())
@@ -494,12 +499,15 @@ class AttAsppEngine:
                 self._scout_clahe = bool(meta.get("use_clahe", True))
             if meta.get("img_size"):
                 self._scout_img_size = int(meta["img_size"])
+        scout_base_c = getattr(pc, "cascade_scout_base_c", None)
+        if scout_base_c is None:
+            scout_base_c = int(meta.get("base_c", 16))
         import dataclasses as _dc
 
         from ..utils.npz_weights import load_npz_variables
 
         scout_model = AttentionASPPUNet.from_config(_dc.replace(
-            cfg.model, base_c=pc.cascade_scout_base_c,
+            cfg.model, base_c=scout_base_c,
             conv_lowering="direct"))
         raw = load_npz_variables(path)
         sv = {"params": raw["params"],

@@ -706,6 +706,50 @@ def test_scout_img_size_autodetect_from_summary(tiny_att, rng, tmp_path):
     np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
 
 
+def test_scout_base_c_autodetect_from_summary(tiny_att, rng, tmp_path):
+    """cascade_scout_base_c=None auto-reads base_c from the summary.json
+    next to the scout weights (``cli train --export_npz`` records it), so
+    a distilled scout of any width serves without extra flags; an explicit
+    value overrides, and no summary falls back to 16.  The auto-adopted
+    scout runs the real cascade path: with every frame promoted the output
+    is exactly the direct engine's."""
+    import dataclasses as dc
+    import json as _json
+
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = tiny_att
+    scout_model = AttentionASPPUNet.from_config(dc.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(7),
+                                  np.zeros((1, 16, 16, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "weights.npz")
+    (tmp_path / "summary.json").write_text(_json.dumps(
+        {"img_size": 16, "base_c": 2, "use_clahe": True}))
+
+    sweep = _sweep(rng, 6)
+    f_d, m_d, ac_d = AttAsppEngine(cfg, variables).predict_case(
+        sweep, (0.28, 0.28), threshold=0.5)
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_scouts=6,
+        cascade_scout_weights=str(tmp_path / "weights.npz")))
+    assert ccfg.predict.cascade_scout_base_c is None     # the AUTO default
+    eng = AttAsppEngine(ccfg, variables)
+    f_c, m_c, ac_c = eng.predict_case(sweep, (0.28, 0.28), threshold=0.5)
+    assert f_c == f_d
+    np.testing.assert_array_equal(m_c, m_d)
+    np.testing.assert_allclose(ac_c, ac_d, rtol=1e-6, equal_nan=True)
+
+    # a wrong explicit width is a hard shape error, never a silent serve
+    bad = dc.replace(cfg, predict=dc.replace(
+        ccfg.predict, cascade_scout_base_c=4))
+    with pytest.raises(Exception):
+        AttAsppEngine(bad, variables).predict_case(
+            sweep, (0.28, 0.28), threshold=0.5)
+
+
 def test_candidate_rank_areas_fill_proxy_off_is_closed_area():
     """fill_proxy=False is exactly the closed-area sum: a hollow ring's
     interior counts under the default key but NOT under the closed-only

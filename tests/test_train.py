@@ -211,3 +211,42 @@ def test_train_step_w2d_stage_lowering(rng):
         assert ls[-1] < ls[0]
     assert losses["packed"][0] == pytest.approx(losses["direct"][0],
                                                 rel=1e-3)
+
+
+def test_cli_train_scout_distillation(tmp_path, rng):
+    """`cli train --img_size --no_clahe --export_npz` distills a cascade
+    tier-1 scout end to end: trains at the reduced resolution, exports
+    the compact weights.npz, and records the serving knobs (img_size,
+    use_clahe) in summary.json — the contract infer/engine.py's
+    `_load_scout` auto-adopts (NOTES.md r29/r31)."""
+    import json
+
+    from att_aspp_unet_tpu.cli import main
+    from att_aspp_unet_tpu.io import write_gray_png
+    from att_aspp_unet_tpu.utils.npz_weights import load_npz_variables
+
+    ds = _tiny_dataset(rng, n=8, S=32)
+    troot = tmp_path / "train"
+    for sub in ("images", "masks"):
+        (troot / sub).mkdir(parents=True)
+    for i in range(8):
+        write_gray_png(troot / "images" / f"s{i}.png", ds.images[i])
+        write_gray_png(troot / "masks" / f"s{i}.png", ds.masks[i])
+
+    out_dir = tmp_path / "scout"
+    rc = main(["train", "--train_dir", str(troot),
+               "--output_dir", str(out_dir),
+               "--img_size", "32", "--base_c", "4", "--no_clahe",
+               "--export_npz", "--epochs", "1", "--batch_size", "4"])
+    assert rc == 0
+
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert summary["img_size"] == 32 and summary["base_c"] == 4
+    assert summary["use_clahe"] is False and summary["stage"] == "main"
+    assert summary["epochs_run"] == 1
+
+    variables = load_npz_variables(out_dir / "weights.npz")
+    assert set(variables) >= {"params", "batch_stats"}
+    # the exported tree matches the model config the summary declares
+    first = next(iter(variables["params"].values()))
+    assert isinstance(first, dict)
