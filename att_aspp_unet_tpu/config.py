@@ -238,15 +238,18 @@ class PredictConfig:
     # NOTES.md r21; the trained-at-128 scout is the r31 win) and this
     # field only applies to scout-less cascades.
     cascade_img_size: int = 256
-    # Frames promoted to the full forward.  16 == topk+refine_margin, so
-    # every promoted frame is refined at full res; promote-count fidelity
-    # was swept on trained weights (probe r30, 12 seeds): pick agreement
-    # with the direct engine is 12/12 at 8/16/24/32 promotes, the direct
-    # pick survives INSIDE the promoted set 12/12 even at 8 (so 16 keeps
-    # a 2x margin), and median AC error vs analytic truth is identical.
-    # Perf: 16 promotes run the 840-frame case at 4015 f/s vs 3091 at 32
-    # (the tier-2 batch drops from 3 micro-batches to 1).
-    cascade_scouts: int = 16
+    # Frames promoted to the full forward.  The refined candidate set and
+    # the tier-2 micro-batch are clamped to this count (engine
+    # predict_case_submit), so 8 promotes == ONE b8 tier-2 micro-batch
+    # with every promoted frame refined at full res.  Promote-count
+    # fidelity was swept on trained weights twice (probes r30 and r32,
+    # 12 seeds each): pick agreement with the direct engine is 12/12 at
+    # 8/16/24/32 promotes, the direct pick survives INSIDE the refined
+    # set 12/12 even when that set is 8, and median AC error vs analytic
+    # truth is identical.  Perf (840-frame case, 128-px distilled scout):
+    # 8 promotes 9263 f/s vs 7149 at 16 — the padded half of the b16
+    # tier-2 batch was the largest remaining fixed cost (probe r32).
+    cascade_scouts: int = 8
     # Enhance (CLAHE+median) the scout tier at cascade_img_size instead of
     # native resolution, and enhance only the promoted frames natively.
     # Tier 2 stays bit-identical to direct (enhancement is per-frame);

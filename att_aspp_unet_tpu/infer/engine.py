@@ -719,13 +719,23 @@ class AttAsppEngine:
             nv = self._nval_cache.setdefault(
                 n, jax.device_put(np.int32(n)))
         if getattr(pc, "cascade", False):
-            n_scout = max(m, min(pc.cascade_scouts, staged.shape[0]))
+            # The refined candidate set and the tier-2 micro-batch are both
+            # bounded by the promote count: you cannot refine frames you
+            # never ran at full resolution, and zero-padding 8 promoted
+            # frames to a b16 micro-batch doubles the tier-2 forward for
+            # nothing (probe r32: one b8 tier-2 batch runs the 840-frame
+            # case x1.30 over the padded b16, pick/AC fidelity 12/12).
+            # n_scout keeps at least topk frames in play so the exact
+            # re-rank in predict_case_collect always has its full set.
+            n_scout = min(max(pc.cascade_scouts, pc.topk_frames),
+                          staged.shape[0])
+            m_c = min(m, n_scout)
             cand_idx, refined = _predict_case_cascade_impl(
                 self._apply, self.variables, staged, nv, p.img_size,
                 self._scout_img_size or pc.cascade_img_size,
                 p.clahe_clip, p.clahe_grid,
-                p.median_kernel, pc.frame_batch, pc.tta_hflip,
-                pc.gaussian_kernel, float(thr), n_scout, m, pc.min_area_px,
+                p.median_kernel, min(pc.frame_batch, n_scout), pc.tta_hflip,
+                pc.gaussian_kernel, float(thr), n_scout, m_c, pc.min_area_px,
                 pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W),
                 lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
                 scout_batch=scout_micro_batch(

@@ -153,7 +153,7 @@ def main() -> int:
                          "the one deviation closer to analytic truth, "
                          "median AC error <= direct's.  --no-cascade "
                          "benches the exhaustive full-res path")
-    ap.add_argument("--cascade-scouts", type=int, default=16)
+    ap.add_argument("--cascade-scouts", type=int, default=8)
     ap.add_argument("--cascade-size", type=int, default=None,
                     help="scout forward resolution; default = the distilled "
                          "scout's native training size (128 for the shipping "

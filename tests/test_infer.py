@@ -484,8 +484,9 @@ def test_predict_case_cascade_scouts_all_matches_direct(tiny_att, rng):
 
 def test_predict_case_cascade_subset_contract(tiny_att, rng):
     """scouts < n: the output contract holds (valid frame, native-res
-    mask, finite-or-nan AC) and the scout clamp keeps at least
-    topk+refine_margin candidates in play."""
+    mask, finite-or-nan AC).  The refined candidate set is clamped to the
+    promote count (never below topk), so a small scout count shrinks the
+    refine set rather than inflating promotion (probe r32)."""
     import dataclasses as dc
 
     cfg, variables = tiny_att
@@ -499,6 +500,35 @@ def test_predict_case_cascade_subset_contract(tiny_att, rng):
     assert m.shape == sweep.shape[1:]
     assert set(np.unique(m)).issubset({0, 1})
     assert np.isnan(ac) or np.isfinite(ac)
+
+
+def test_predict_case_cascade_refine_set_clamped_to_promotes(tiny_att, rng):
+    """The cascade's refined candidate set is min(topk+refine_margin,
+    n_scout) and never below topk: promoting 8 frames must yield exactly
+    8 refined candidates even though topk+refine_margin defaults to 16
+    (probe r32 — the padded half of a b16 tier-2 micro-batch over 8
+    promoted frames was pure waste), and a scout count below topk is
+    raised to topk so the exact re-rank keeps its full set."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweep = _sweep(rng, 24)
+    sweep[11, 8:32, 10:40] = 250
+    m_direct = cfg.predict.topk_frames + cfg.predict.refine_margin
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=8,
+        refine_margin=11))
+    eng = AttAsppEngine(ccfg, variables)
+    cand_idx, packed, _ = eng.predict_case_submit(sweep, 0.5)
+    assert cand_idx.shape[0] == 8 < m_direct
+    assert packed.shape[0] == 8
+
+    lcfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=2))
+    cand_lo, _, _ = AttAsppEngine(lcfg, variables).predict_case_submit(
+        sweep, 0.5)
+    assert cand_lo.shape[0] == cfg.predict.topk_frames
 
 
 def test_predict_case_cascade_lowres_enhance_matches_direct(tiny_att, rng):
