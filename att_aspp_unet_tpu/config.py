@@ -210,6 +210,13 @@ class PredictConfig:
                                      # smaller activations fit VMEM better
                                      # and 140 pads to 144 not 160).  The
                                      # reference looped batches of 8.
+    # Tier-2 micro-batch for BULK multi-sweep cascade serving
+    # (engine.predict_bulk_submit): the S·cascade_scouts promoted frames
+    # of a bulk group share micro-batches of this size, so one group's
+    # tier 2 fills the MXU better than per-case b8 batches while the
+    # per-call fixed block (refine latency, glue — probes r33/r34)
+    # amortizes over the whole group.
+    bulk_frame_batch: int = 16
     # packed BN-folded forward with fused Pallas conv pairs
     # (infer/fast_forward.py): "auto" = on for single-device TPU runs,
     # off elsewhere; True/False force it.  Default off until the fused

@@ -347,6 +347,106 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     return cand_idx, _packbits_w(refined[..., :H, :W])
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
+    "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
+    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
+    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr",
+    "scout_clip", "scout_rank"))
+def _predict_bulk_cascade_impl(apply_fn, variables, sweeps, n_valid,
+                               img_size, low_size, clahe_clip, clahe_grid,
+                               median_kernel, batch, tta, gauss_k, threshold,
+                               n_scout, n_cand, min_area_px, min_area_frac,
+                               close_kernel, bucket_hw,
+                               lowres_enhance: bool = False,
+                               scout_batch: int = 0,
+                               scout_apply_fn=None,
+                               scout_variables=None,
+                               scout_thr: float = 0.0,
+                               scout_clip: Optional[float] = None,
+                               scout_rank: str = "refined"):
+    """BULK cascade: S independent sweeps → per-sweep candidates, one
+    device program.
+
+    The lean single-case cascade pays a ~76 ms n-independent fixed block
+    per call (tier-2 micro-batch + latency-bound refine + glue — probes
+    r33/r34); serving S sweeps one call at a time pays it S times.  This
+    runs the SAME two tiers over a (S, N, H, W) stack — the scout scans
+    all S·N frames in one forward, promotion/ranking happen per sweep
+    (the reference's unit of selection is the sweep, ``analyze_ac.py:19``),
+    tier 2 forwards the S·n_scout promoted frames in shared micro-batches,
+    and all S·n_cand candidates refine in ONE bucketed call, amortizing
+    the propagation latency across sweeps.
+
+    Per sweep the math is identical to ``_predict_case_cascade_impl`` —
+    every op is per-frame or per-sweep, so a bulk call and S single calls
+    pick the same frames and produce the same masks (tested exactly on
+    CPU).  One compile per (S, N, H, W) shape: callers batch fixed-size
+    groups (``AttAsppEngine.predict_bulk_submit``).
+    """
+    from ..postprocess.refine import _refine_mask_padded
+
+    if scout_apply_fn is None:
+        scout_apply_fn, scout_variables = apply_fn, variables
+    if not scout_thr:
+        scout_thr = threshold
+    if scout_clip is None or not lowres_enhance:
+        scout_clip = clahe_clip
+    S, N = sweeps.shape[0], sweeps.shape[1]
+    H, W = sweeps.shape[-2], sweeps.shape[-1]
+    flat = sweeps.reshape(S * N, H, W)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    # ---- tier 1: low-res scout over every frame of every sweep ----
+    if lowres_enhance:
+        lo_u8 = enhance_frames(
+            resize_bilinear(flat.astype(jnp.float32), (low_size, low_size)),
+            scout_clip, clahe_grid, median_kernel)
+        x_lo = lo_u8.astype(jnp.float32) / 255.0
+    else:
+        u8 = enhance_frames(flat, clahe_clip, clahe_grid, median_kernel)
+        xf = u8.astype(jnp.float32)
+        x_lo = resize_bilinear(xf, (low_size, low_size)) / 255.0
+    probs_lo = predict_sweep_probs(scout_apply_fn, scout_variables, x_lo,
+                                   scout_batch or batch, hflip=False)
+    binary_lo = (probs_lo > scout_thr).astype(jnp.uint8)
+    areas_lo = candidate_rank_areas(
+        binary_lo, close_kernel,
+        fill_proxy=(scout_rank != "closed")).reshape(S, N)
+    areas_lo = jnp.where(idx[None, :] < n_valid, areas_lo, -1)
+    order_lo = jax.vmap(lambda a: jnp.lexsort((-idx, -a)))(areas_lo)
+    scout_idx = order_lo[:, :n_scout]                      # (S, n_scout)
+    flat_idx = (jnp.arange(S, dtype=jnp.int32)[:, None] * N
+                + scout_idx).reshape(-1)
+
+    # ---- tier 2: full-res forward on the promoted frames of every sweep ----
+    if lowres_enhance:
+        hi_u8 = enhance_frames(flat[flat_idx], clahe_clip, clahe_grid,
+                               median_kernel)
+        xf_hi = hi_u8.astype(jnp.float32)
+    else:
+        xf_hi = xf[flat_idx]
+    x_hi = resize_bilinear(xf_hi, (img_size, img_size)) / 255.0
+    probs_hi = predict_sweep_probs(apply_fn, variables, x_hi, batch, tta)
+    native = resize_bilinear(probs_hi, (H, W))
+    probs = gaussian_blur(native, gauss_k, 0.0)
+    binary = (probs > threshold).astype(jnp.uint8)
+    areas = candidate_rank_areas(binary, close_kernel).reshape(S, n_scout)
+    areas = jnp.where(scout_idx < n_valid, areas, -1)
+    order = jax.vmap(lambda a, si: jnp.lexsort((-si, -a)))(areas, scout_idx)
+    local = order[:, :n_cand]                              # (S, n_cand)
+    cand_idx = jnp.take_along_axis(scout_idx, local, axis=1)
+    cand = jnp.take_along_axis(
+        binary.reshape(S, n_scout, H, W), local[..., None, None], axis=1)
+    flat_cand = cand.reshape(S * n_cand, H, W)
+    hb, wb = bucket_hw
+    padded = jnp.pad(flat_cand, ((0, 0), (0, hb - H), (0, wb - W)))
+    refined = _refine_mask_padded(padded, jnp.asarray([H, W], jnp.int32),
+                                  min_area_px, min_area_frac, close_kernel)
+    packed = _packbits_w(refined[..., :H, :W])
+    return cand_idx, packed.reshape((S, n_cand) + packed.shape[-2:])
+
+
 def scout_micro_batch(n: int, requested: int, frame_batch: int) -> int:
     """Effective scout-tier micro-batch for an ``n``-frame stack.
 
@@ -772,6 +872,110 @@ class AttAsppEngine:
 
     def measure(self, mask: np.ndarray, spacing: Tuple[float, float]) -> float:
         return measure_ac_mm(np.asarray(mask), spacing)
+
+    # ---------------- bulk (multi-sweep) cascade serving ----------------
+
+    def predict_bulk_submit(self, sweeps: np.ndarray,
+                            threshold: Optional[float] = None):
+        """Dispatch S independent same-shape sweeps as ONE device program.
+
+        ``sweeps`` is (S, N, H, W); requires ``PredictConfig.cascade``
+        (the direct path has no n-independent fixed block worth
+        amortizing).  The per-call fixed block — tier-2 micro-batch
+        padding, the latency-bound refine propagation, program glue
+        (~76 ms, probes r33/r34) — is shared across the S sweeps:
+        promotion and selection stay per sweep, tier 2 forwards all
+        S·n_scout promoted frames in shared ``bulk_frame_batch``
+        micro-batches, and all candidates refine in one bucketed call.
+        One compile per (S, N, H, W) — batch fixed-size groups.
+
+        With a mesh the SWEEP axis shards over the data axis (sweeps are
+        independent end-to-end, so bulk serving is embarrassingly data
+        parallel; ragged groups pad with zero sweeps that are dropped at
+        collect).
+        """
+        from ..postprocess.refine import refine_bucket_hw
+
+        p = self.cfg.preprocess
+        pc = self.cfg.predict
+        if not getattr(pc, "cascade", False):
+            raise ValueError("predict_bulk requires PredictConfig.cascade")
+        S, n, H, W = sweeps.shape
+        thr = pc.threshold if threshold is None else threshold
+        m = max(1, min(pc.topk_frames + pc.refine_margin, n))
+        self._ensure_quant(sweeps[0])
+        # stage WITHOUT a host round trip: a device-resident group must
+        # stay device-resident (np-concatenate staging here re-uploaded
+        # the whole group on EVERY submit — 117 MB/submit at S=2 through
+        # the ~36 MB/s tunnel swamped the entire bulk win, probe r35's
+        # first run); padding is a device op
+        arr = jnp.asarray(sweeps)
+        pad_n = (-n) % pc.frame_batch
+        if pad_n:
+            arr = jnp.pad(arr, ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+        pad_s = 0
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            d = self.mesh.shape[self.mesh.axis_names[0]]
+            pad_s = (-S) % d
+            if pad_s:
+                arr = jnp.pad(arr, ((0, pad_s), (0, 0), (0, 0), (0, 0)))
+            staged = jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
+        else:
+            staged = arr
+        nv = self._nval_cache.get(n)
+        if nv is None:
+            nv = self._nval_cache.setdefault(n, jax.device_put(np.int32(n)))
+        n_scout = min(max(pc.cascade_scouts, pc.topk_frames),
+                      staged.shape[1])
+        m_c = min(m, n_scout)
+        t2_batch = min(getattr(pc, "bulk_frame_batch", 16),
+                       staged.shape[0] * n_scout)
+        cand_idx, packed = _predict_bulk_cascade_impl(
+            self._apply, self.variables, staged, nv, p.img_size,
+            self._scout_img_size or pc.cascade_img_size,
+            p.clahe_clip, p.clahe_grid, p.median_kernel, t2_batch,
+            pc.tta_hflip, pc.gaussian_kernel, float(thr), n_scout, m_c,
+            pc.min_area_px, pc.min_area_frac, pc.close_kernel,
+            refine_bucket_hw(H, W),
+            lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
+            scout_batch=scout_micro_batch(
+                staged.shape[0] * staged.shape[1],
+                getattr(pc, "cascade_scout_batch", 0), pc.frame_batch),
+            scout_apply_fn=self._scout_apply,
+            scout_variables=self._scout_variables,
+            scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)),
+            scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
+            scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
+        return cand_idx, packed, W, S
+
+    def predict_bulk_collect(self, handle,
+                             spacing: Optional[Tuple[float, float]] = None):
+        """Finish a :meth:`predict_bulk_submit`: one device→host pull,
+        then the per-sweep exact circularity re-rank + ellipse AC.
+        Returns ``[(best_frame, refined_mask, ac_mm), …]`` of length S."""
+        pc = self.cfg.predict
+        cand_dev, packed_dev, W, S = handle
+        cand_idx, packed = jax.device_get((cand_dev, packed_dev))
+        out = []
+        for s in range(S):
+            refined = np.unpackbits(packed[s], axis=-1, count=W)
+            local = select_best_frame_exact(refined, pc.topk_frames)
+            best_frame = int(cand_idx[s, local])
+            best_mask = refined[local]
+            ac = (self.measure(best_mask, spacing)
+                  if spacing is not None else float("nan"))
+            out.append((best_frame, best_mask, ac))
+        return out
+
+    def predict_bulk(self, sweeps: np.ndarray,
+                     spacing: Optional[Tuple[float, float]] = None,
+                     threshold: Optional[float] = None):
+        """S same-shape sweeps → ``[(best_frame, mask, ac_mm), …]`` via one
+        bulk cascade program; per-sweep results match S
+        :meth:`predict_case` calls (tested exactly on CPU)."""
+        return self.predict_bulk_collect(
+            self.predict_bulk_submit(sweeps, threshold), spacing)
 
     # ---------------- ROI (container) path ----------------
 

@@ -154,6 +154,12 @@ def main() -> int:
                          "median AC error <= direct's.  --no-cascade "
                          "benches the exhaustive full-res path")
     ap.add_argument("--cascade-scouts", type=int, default=8)
+    ap.add_argument("--bulk", type=int, default=0,
+                    help="also bench BULK multi-sweep serving: a group of "
+                         "N independent --frames sweeps through ONE device "
+                         "program (engine.predict_bulk — the per-call "
+                         "fixed block amortizes across the group; probes "
+                         "r33/r34).  Requires cascade mode")
     ap.add_argument("--cascade-size", type=int, default=None,
                     help="scout forward resolution; default = the distilled "
                          "scout's native training size (128 for the shipping "
@@ -476,6 +482,45 @@ def main() -> int:
             del line["sequential_fps"], line["dispatch_only_fps"]
             line["sweep_sequential_fps"] = round(seq_fps, 1)
             line["sweep_dispatch_only_fps"] = round(disp_fps, 1)
+
+        # ---- bulk multi-sweep serving (--bulk S) ----
+        # S independent sweeps in ONE device program: per-sweep picks, the
+        # per-call fixed block shared (probes r33/r34).  Reported alongside,
+        # never as the headline (the deployment unit stays the case).
+        if args.bulk and args.cascade:
+            S = args.bulk
+            if use_trained:
+                group = np.stack([make_sweep(args.frames, args.height,
+                                             args.width, seed=10 + s)[0]
+                                  for s in range(S)])
+            else:
+                group = (rng.random((S, args.frames, args.height,
+                                     args.width)) * 255).astype(np.uint8)
+            # pre-stage on device like the sweep/case inputs: a host group
+            # re-uploads S×58 MB through the tunnel on EVERY submit
+            group = jax.device_put(group)
+            group.block_until_ready()
+            t0 = time.time()
+            engine.predict_bulk_collect(
+                engine.predict_bulk_submit(group, thr), (0.28, 0.28))
+            print(f"[bench] bulk({S}) compile+first run "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+            n_disp = 2 * args.iters
+            t0 = time.time()
+            handles = [engine.predict_bulk_submit(group, thr)
+                       for _ in range(n_disp)]
+            float(jnp.sum(handles[-1][0].astype(jnp.int32)))
+            bulk_disp = (time.time() - t0) / n_disp
+            for h in handles:
+                engine.predict_bulk_collect(h, (0.28, 0.28))
+            bulk_fps = S * args.frames / bulk_disp
+            print(f"[bench] bulk({S}×{args.frames}) dispatch-only "
+                  f"{bulk_disp:.3f} s/group ({bulk_fps:.1f} f/s, "
+                  f"{S / bulk_disp:.1f} sweeps/s)", file=sys.stderr)
+            line["bulk"] = {"group_sweeps": S,
+                            "dispatch_only_fps": round(bulk_fps, 1),
+                            "sweeps_per_sec": round(S / bulk_disp, 2),
+                            "frame_batch": cfg.predict.bulk_frame_batch}
     print(json.dumps(line))
     return 0
 

@@ -531,6 +531,56 @@ def test_predict_case_cascade_refine_set_clamped_to_promotes(tiny_att, rng):
     assert cand_lo.shape[0] == cfg.predict.topk_frames
 
 
+def test_predict_bulk_matches_per_sweep_cascade(tiny_att, rng):
+    """Bulk cascade over S sweeps == S ``predict_case`` calls EXACTLY:
+    promotion and selection are per sweep and every device op is
+    per-frame, so amortizing tier 2 and the refine across the group must
+    not change any pick, mask, or AC.  Micro-batch shapes are pinned
+    equal across both paths (frame_batch = bulk_frame_batch = scout
+    batch) so the comparison covers the math, not float-batching noise."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    S = 3
+    sweeps = np.stack([_sweep(rng, 8) for _ in range(S)])
+    sweeps[0, 6, 8:32, 10:40] = 250
+    sweeps[2, 1, 5:20, 5:30] = 240
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=4,
+        cascade_scout_batch=4, bulk_frame_batch=4))
+    eng = AttAsppEngine(ccfg, variables)
+    bulk = eng.predict_bulk(sweeps, (0.28, 0.28), threshold=0.5)
+    assert len(bulk) == S
+    for s in range(S):
+        f, m, ac = eng.predict_case(sweeps[s], (0.28, 0.28), threshold=0.5)
+        bf, bm, bac = bulk[s]
+        assert bf == f
+        np.testing.assert_array_equal(bm, m)
+        np.testing.assert_allclose(bac, ac, rtol=1e-6, equal_nan=True)
+
+
+def test_predict_bulk_tiny_sweeps_and_cascade_requirement(tiny_att, rng):
+    """Sweeps shorter than topk_frames still satisfy the output contract
+    through the bulk path (n_scout and the refined set clamp to n), and
+    bulk without cascade mode is a loud error, not a silent slow path."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    sweeps = np.stack([_sweep(rng, 4), _sweep(rng, 4)])
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=8))
+    out = AttAsppEngine(ccfg, variables).predict_bulk(
+        sweeps, (0.28, 0.28), threshold=0.5)
+    assert len(out) == 2
+    for bf, bm, ac in out:
+        assert 0 <= bf < 4
+        assert bm.shape == sweeps.shape[2:]
+        assert np.isnan(ac) or np.isfinite(ac)
+
+    with pytest.raises(ValueError):
+        AttAsppEngine(cfg, variables).predict_bulk_submit(sweeps)
+
+
 def test_predict_case_cascade_lowres_enhance_matches_direct(tiny_att, rng):
     """cascade_lowres_enhance: tier 2 enhances the PROMOTED frames at
     native resolution, and enhancement is per-frame — so with every frame

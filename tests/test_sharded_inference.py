@@ -223,3 +223,32 @@ def test_sharded_cascade_distilled_scout_matches_direct(setup, rng, tmp_path):
     assert f == f_ref
     np.testing.assert_array_equal(m, m_ref)
     np.testing.assert_allclose(ac, ac_ref, rtol=1e-5, equal_nan=True)
+
+
+def test_sharded_bulk_matches_unsharded_bulk(setup, rng):
+    """Bulk multi-sweep serving shards the SWEEP axis (sweeps are
+    independent end-to-end); a ragged group (S=3 over 8 devices) pads
+    with zero sweeps that must vanish at collect.  Results must equal
+    the unsharded bulk call sweep for sweep."""
+    import dataclasses
+
+    cfg, variables = setup
+    S = 3
+    sweeps = np.stack(
+        [(rng.random((8, 24, 28)) * 255).astype(np.uint8) for _ in range(S)])
+    sweeps[1, 5, 4:20, 4:24] = 250
+    ccfg = dataclasses.replace(cfg, predict=dataclasses.replace(
+        cfg.predict, cascade=True, cascade_img_size=16, cascade_scouts=4,
+        cascade_scout_batch=2, bulk_frame_batch=2))
+
+    ref = AttAsppEngine(ccfg, variables).predict_bulk(
+        sweeps, (0.28, 0.28), threshold=0.5)
+    mesh = make_mesh(MeshConfig())
+    got = AttAsppEngine(ccfg, variables, mesh=mesh).predict_bulk(
+        sweeps, (0.28, 0.28), threshold=0.5)
+
+    assert len(got) == len(ref) == S
+    for (fr, mr, acr), (fg, mg, acg) in zip(ref, got):
+        assert fg == fr
+        np.testing.assert_array_equal(mg, mr)
+        np.testing.assert_allclose(acg, acr, rtol=1e-5, equal_nan=True)
