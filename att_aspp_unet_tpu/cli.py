@@ -249,7 +249,8 @@ def cmd_predict(args) -> int:
                       slice_metrics=args.slice_metrics,
                       topk_viz=args.topk_viz,
                       viz_att=getattr(args, "viz_att", False),
-                      noatt=noatt)
+                      noatt=noatt,
+                      bulk_group=getattr(args, "bulk", 0))
     return 0
 
 
@@ -507,6 +508,11 @@ def get_parser() -> argparse.ArgumentParser:
                     help="two-tier sweep serving: scout all frames at "
                          "half resolution, full-res forward only on the "
                          "top candidates (infer/engine.py cascade path)")
+    pr.add_argument("--bulk", type=int, default=0,
+                    help="group up to N consecutive same-shape .mha cases "
+                         "into ONE device program (engine.predict_bulk, "
+                         "x1.5 serving throughput — probe r35); requires "
+                         "--cascade; outputs identical to per-case serving")
     pr.add_argument("--scout_weights", default=None,
                     help="npz checkpoint of a DISTILLED SCOUT for the "
                          "cascade's tier-1 ranking forward (served masks "

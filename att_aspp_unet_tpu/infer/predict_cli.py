@@ -74,6 +74,7 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
                       slice_metrics: bool = False, topk_viz: bool = False,
                       viz_att: bool = False,
                       noatt: Optional[Tuple[Config, dict]] = None,
+                      bulk_group: int = 0,
                       log=print) -> List[Tuple[str, int, float]]:
     """``slice_metrics``/``topk_viz``: per-slice area+circularity CSV and the
     top-K candidate sheet of the ablation predict variant
@@ -83,8 +84,18 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
     ``<out>/panels`` — raw, probability, mean ψ, refined mask on the top
     row; the same from an optional no-attention model (``noatt`` =
     (config, variables), the reference's ``--weights_noatt``) below
-    (``test_ablation.py:832-842``)."""
+    (``test_ablation.py:832-842``).
+
+    ``bulk_group`` > 1 groups consecutive same-shape ``.mha`` cases into
+    ONE device program per group (``engine.predict_bulk`` — ×1.5 serving
+    throughput, probe r35); requires cascade mode.  Outputs are
+    byte-identical to the per-case path (per-sweep selection is
+    unchanged), ordering is preserved, and a shape change or a non-MHA
+    input just closes the current group early."""
     engine = AttAsppEngine(cfg, variables)
+    if bulk_group > 1 and not getattr(cfg.predict, "cascade", False):
+        raise ValueError("--bulk grouping requires cascade serving "
+                         "(pass --cascade)")
     noatt_engine = AttAsppEngine(*noatt) if noatt is not None else None
     thr = threshold if threshold is not None else load_threshold(cfg, log=log)
 
@@ -117,10 +128,45 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
         rows.append((stem, int(best), ac))
         log(f"{stem}: best_frame={best}, AC={ac:.1f} mm")
 
+    # bulk grouping state (bulk_group > 1): same-shape cases accumulate,
+    # each full group dispatches as one predict_bulk program, and one
+    # group stays in flight exactly like the single-case pipeline above
+    buf: List[tuple] = []     # (stem, img, vol, (sx, sy))
+    pending_group = None      # ([(stem, img, sp), …], handle)
+
+    def flush_group_pending():
+        nonlocal pending_group
+        if pending_group is None:
+            return
+        metas, handle = pending_group
+        pending_group = None
+        for (stem, img, sp), (best, best_mask, _) in zip(
+                metas, engine.predict_bulk_collect(handle)):
+            ac = round(engine.measure(best_mask, sp), 1)
+            write_output_mha_and_json(out_dir, stem, best_mask, best, img)
+            rows.append((stem, int(best), ac))
+            log(f"{stem}: best_frame={best}, AC={ac:.1f} mm")
+
+    def submit_group():
+        nonlocal pending_group, buf
+        if not buf:
+            return
+        metas = [(s, i, sp) for s, i, _, sp in buf]
+        group = np.stack([v for _, _, v, _ in buf])
+        buf = []
+        handle = engine.predict_bulk_submit(group, thr)
+        flush_group_pending()
+        pending_group = (metas, handle)
+
+    def flush_all():
+        submit_group()
+        flush_group_pending()
+        flush_pending()
+
     for p in sorted(Path(input_dir).iterdir()):
         ext = p.suffix.lower()
         if not (ext == ".mha" and not (slice_metrics or topk_viz)):
-            flush_pending()
+            flush_all()
         if ext in {".png", ".jpg", ".jpeg"}:
             sl = read_gray_png(p)
             probs = engine.predict_full(sl[None])
@@ -165,6 +211,15 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
             vol = img.array
             sx, sy = float(img.spacing[0]), float(img.spacing[1])
             if not (slice_metrics or topk_viz):
+                if bulk_group > 1:
+                    # a different sweep shape closes the current group
+                    # (one compile per (S, N, H, W) — engine docstring)
+                    if buf and buf[0][2].shape != vol.shape:
+                        submit_group()
+                    buf.append((p.stem, img, vol, (sx, sy)))
+                    if len(buf) >= bulk_group:
+                        submit_group()
+                    continue
                 # fast path: refine only the top candidates (predict_case),
                 # pipelined one case ahead
                 handle = engine.predict_case_submit(vol, thr)
@@ -201,7 +256,7 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
                                      topk_idx, best, ac,
                                      out_dir / f"{p.stem}_topk.png")
 
-    flush_pending()
+    flush_all()
     if rows:
         csv_path = out_dir / "ac_results.csv"
         with open(csv_path, "w", newline="") as f:

@@ -212,6 +212,44 @@ def test_predict_directory(tiny_att, tmp_path, rng):
     assert "caseA" in cases and "caseB" in cases
 
 
+def test_predict_directory_bulk_matches_per_case(tiny_att, tmp_path, rng):
+    """--bulk N on the predict CLI: consecutive same-shape .mha cases run
+    as one predict_bulk program per group; rows, written volumes and
+    frame JSONs must match the per-case cascade run file for file.  A
+    shape change mid-directory closes the group early; bulk without
+    cascade is a loud error."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, n in enumerate((8, 8, 8, 4)):      # last case breaks the shape
+        sweep = _sweep(rng, n)
+        sweep[n // 2, 8:30, 10:40] = 250
+        write_mha(in_dir / f"case{i}.mha",
+                  MetaImage(sweep, spacing=(0.3, 0.3, 0.3)))
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=4,
+        cascade_scout_batch=4, bulk_frame_batch=4))
+    ref = predict_directory(ccfg, variables, in_dir, tmp_path / "ref",
+                            threshold=0.5, log=lambda *a: None)
+    got = predict_directory(ccfg, variables, in_dir, tmp_path / "bulk",
+                            threshold=0.5, bulk_group=2,
+                            log=lambda *a: None)
+    assert got == ref and len(got) == 4
+    for i in range(4):
+        a = read_mha(tmp_path / "ref" / f"case{i}" / "images"
+                     / "fetal-abdomen-segmentation" / "output.mha")
+        b = read_mha(tmp_path / "bulk" / f"case{i}" / "images"
+                     / "fetal-abdomen-segmentation" / "output.mha")
+        np.testing.assert_array_equal(a.array, b.array)
+
+    with pytest.raises(ValueError):
+        predict_directory(cfg, variables, in_dir, tmp_path / "nope",
+                          threshold=0.5, bulk_group=2, log=lambda *a: None)
+
+
 def test_split_case_frame_and_spacing_map():
     assert split_case_frame("uuid_s17") == ("uuid", 17)
     assert split_case_frame("plain") == ("plain", -1)
