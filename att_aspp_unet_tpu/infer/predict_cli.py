@@ -154,6 +154,16 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
         metas = [(s, i, sp) for s, i, _, sp in buf]
         group = np.stack([v for _, _, v, _ in buf])
         buf = []
+        # the group holds two f32 device copies (native input + enhanced
+        # stack); past ~6 GB XLA spills across the v5e HBM cliff and bulk
+        # runs far SLOWER than sequential (probe r36: 840-frame cases at
+        # S=3 measured x0.11) — warn, the dispatch still completes
+        est_gb = 2 * 4 * group.size / 1e9
+        if est_gb > 6.0:
+            log(f"WARNING: bulk group of {group.shape[0]} cases needs "
+                f"~{est_gb:.1f} GB of device buffers — beyond the HBM "
+                f"cliff this is slower than sequential; use a smaller "
+                f"--bulk for inputs this large (probe r36)")
         handle = engine.predict_bulk_submit(group, thr)
         flush_group_pending()
         pending_group = (metas, handle)
