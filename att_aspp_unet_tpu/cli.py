@@ -231,6 +231,18 @@ def cmd_calibrate(args) -> int:
 def cmd_predict(args) -> int:
     from .infer.predict_cli import predict_directory
 
+    if not getattr(args, "cascade", False):
+        # the scout flags only affect the cascade's tier-1 ranking —
+        # without --cascade they would be silently ignored and the user
+        # would get the exhaustive direct path believing the distilled
+        # scout is active (the --bulk misuse already raises, in
+        # predict_directory; be consistent)
+        for flag in ("scout_weights", "scout_thr", "scout_base_c",
+                     "scout_no_clahe"):
+            if getattr(args, flag, None):
+                raise SystemExit(f"--{flag} requires --cascade")
+        if getattr(args, "scout_rank", "refined") != "refined":
+            raise SystemExit("--scout_rank requires --cascade")
     cfg = _with_tta(_base_config(args), args)
     variables = load_variables(Path(args.weights), cfg,
                                cfg.preprocess.img_size)
@@ -270,6 +282,8 @@ def cmd_warm(args) -> int:
     from .models import AttentionASPPUNet
     from .utils.compile_cache import enable_compilation_cache
 
+    if int(getattr(args, "bulk", 0) or 0) > 1 and not args.cascade:
+        raise SystemExit("--bulk requires --cascade")
     enable_compilation_cache()
     cfg = _base_config(args)
     from .config import PreprocessConfig
@@ -303,6 +317,7 @@ def cmd_warm(args) -> int:
     else:
         from .infer.predict_cli import load_threshold
         thr = load_threshold(cfg, Path(args.thr_json))
+    bulk = int(getattr(args, "bulk", 0) or 0)
     for spec in args.shapes.split(","):
         n, h, w = (int(t) for t in spec.lower().split("x"))
         sweep = np.zeros((n, h, w), np.uint8)
@@ -310,6 +325,17 @@ def cmd_warm(args) -> int:
         engine.predict_case(sweep, (0.28, 0.28), threshold=thr)
         print(f"[warm] {spec}: thr {thr:.3f} compiled+ran in "
               f"{time.time() - t0:.1f}s")
+        if bulk > 1:
+            # predict --bulk N serves a DIFFERENT program per (S, N, H, W)
+            # — one compile per group size; warm the full-group shape too
+            # (singleton tail groups route through predict_case, warmed
+            # above; other ragged sizes pay their own compile once)
+            group = np.zeros((bulk, n, h, w), np.uint8)
+            t0 = time.time()
+            engine.predict_bulk_collect(
+                engine.predict_bulk_submit(group, thr), (0.28, 0.28))
+            print(f"[warm] bulk {bulk}x{spec}: thr {thr:.3f} "
+                  f"compiled+ran in {time.time() - t0:.1f}s")
     return 0
 
 
@@ -646,7 +672,22 @@ def get_parser() -> argparse.ArgumentParser:
     wm.add_argument("--scout_thr", type=float, default=0.0,
                     help="scout ranking threshold (static jit arg — pass "
                          "the deployment's calibrated value or the warmed "
-                         "cascade program is not the served one)")
+                         "cascade program is not the served one; 0 = "
+                         "auto-adopt from the thr.json next to "
+                         "--scout_weights, exactly like predict)")
+    wm.add_argument("--scout_no_clahe", action="store_true",
+                    help="match a deployment serving --scout_no_clahe "
+                         "(scout_clip is a static jit arg).  Usually "
+                         "unnecessary: the engine auto-reads use_clahe "
+                         "from the summary.json next to the weights")
+    wm.add_argument("--scout_rank", default="refined",
+                    choices=("refined", "closed"),
+                    help="match the deployment's tier-1 rank key "
+                         "(static jit arg)")
+    wm.add_argument("--bulk", type=int, default=0,
+                    help="also pre-compile the predict --bulk N group "
+                         "program for each shape (a bulk group is its own "
+                         "(S,N,H,W) program; requires --cascade)")
     wm.add_argument("--thr", type=float, default=None,
                     help="serving threshold to compile at (static jit arg "
                          "— must match deployment); default resolves "

@@ -278,8 +278,12 @@ class PredictConfig:
     # (probe r25).  Tier 2 always runs the main model, so served masks
     # never depend on scout quality; promotion fidelity is measured in
     # probe r26.  cascade_scout_thr: the scout's own calibrated
-    # probability threshold for the rank mask (0 = use the main
-    # threshold).  cascade_scout_base_c: None = AUTO — read ``base_c``
+    # probability threshold for the rank mask.  0 = AUTO: adopt
+    # ``best_thr_no_tta``/``best_thr`` from the thr.json (or summary.json)
+    # next to the scout weights — the rank mask thresholds the SCOUT's
+    # probability distribution, not the main model's, and every fidelity
+    # probe ran with the scout's calibrated value; with no sidecar file
+    # the main threshold is used.  cascade_scout_base_c: None = AUTO — read ``base_c``
     # from the summary.json next to the weights (``cli train
     # --export_npz`` records it), fallback 16; an explicit value
     # overrides.  A mismatch is a hard shape error at load, never a

@@ -295,6 +295,16 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
         scout_apply_fn, scout_variables = apply_fn, variables
     if not scout_thr:
         scout_thr = threshold
+    if scout_clip is not None and scout_clip <= 0 and not lowres_enhance:
+        # trace-time guard: without lowres_enhance tier 1 SHARES tier 2's
+        # natively CLAHE-enhanced frames, so a no-CLAHE scout would rank
+        # input it was never trained on — the silent tier-1 corruption
+        # _init_scout's auto-adoption exists to prevent.  Fail loud.
+        raise ValueError(
+            "a no-CLAHE scout (scout_clip<=0) requires "
+            "cascade_lowres_enhance=True: without it the scout tier shares "
+            "the natively CLAHE-enhanced frames and would rank "
+            "off-distribution input")
     if scout_clip is None or not lowres_enhance:
         # tier 1 without lowres_enhance SHARES tier 2's natively enhanced
         # frames — a divergent scout preprocessing would force a second
@@ -390,6 +400,12 @@ def _predict_bulk_cascade_impl(apply_fn, variables, sweeps, n_valid,
         scout_apply_fn, scout_variables = apply_fn, variables
     if not scout_thr:
         scout_thr = threshold
+    if scout_clip is not None and scout_clip <= 0 and not lowres_enhance:
+        raise ValueError(
+            "a no-CLAHE scout (scout_clip<=0) requires "
+            "cascade_lowres_enhance=True: without it the scout tier shares "
+            "the natively CLAHE-enhanced frames and would rank "
+            "off-distribution input")
     if scout_clip is None or not lowres_enhance:
         scout_clip = clahe_clip
     S, N = sweeps.shape[0], sweeps.shape[1]
@@ -572,6 +588,7 @@ class AttAsppEngine:
         self._scout_clahe = True
         self._scout_img_size = None
         pc = cfg.predict
+        self._scout_thr = float(getattr(pc, "cascade_scout_thr", 0.0) or 0.0)
         path = getattr(pc, "cascade_scout_weights", None)
         flag = getattr(pc, "cascade_scout_clahe", None)
         if flag is not None:
@@ -599,6 +616,25 @@ class AttAsppEngine:
                 self._scout_clahe = bool(meta.get("use_clahe", True))
             if meta.get("img_size"):
                 self._scout_img_size = int(meta["img_size"])
+        if not self._scout_thr:
+            # AUTO-ADOPT the scout's own calibrated threshold: tier-1 rank
+            # masks are thresholded on the SCOUT's probability distribution,
+            # not the main model's — every fidelity probe (r26/r29/r31/r32)
+            # ran with the scout's thr.json value, and bench.py loads it
+            # explicitly; the CLI engine must match.  The scout tier never
+            # uses TTA, so the no-TTA calibration is the right key.
+            thr_src = {}
+            tj = Path(path).parent / "thr.json"
+            if tj.exists():
+                try:
+                    thr_src = json.loads(tj.read_text())
+                except (ValueError, OSError):
+                    thr_src = {}
+            for key in ("best_thr_no_tta", "best_thr"):
+                v = thr_src.get(key) or meta.get(key)
+                if v:
+                    self._scout_thr = float(v)
+                    break
         scout_base_c = getattr(pc, "cascade_scout_base_c", None)
         if scout_base_c is None:
             scout_base_c = int(meta.get("base_c", 16))
@@ -843,7 +879,7 @@ class AttAsppEngine:
                     pc.frame_batch),
                 scout_apply_fn=self._scout_apply,
                 scout_variables=self._scout_variables,
-                scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)),
+                scout_thr=self._scout_thr,
                 scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
                 scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
             return cand_idx, refined, W
@@ -944,7 +980,7 @@ class AttAsppEngine:
                 getattr(pc, "cascade_scout_batch", 0), pc.frame_batch),
             scout_apply_fn=self._scout_apply,
             scout_variables=self._scout_variables,
-            scout_thr=float(getattr(pc, "cascade_scout_thr", 0.0)),
+            scout_thr=self._scout_thr,
             scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
             scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
         return cand_idx, packed, W, S

@@ -148,8 +148,20 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
             log(f"{stem}: best_frame={best}, AC={ac:.1f} mm")
 
     def submit_group():
-        nonlocal pending_group, buf
+        nonlocal pending_group, buf, pending
         if not buf:
+            return
+        if len(buf) == 1:
+            # a singleton group (ragged tail, or a shape change after one
+            # case) gains nothing from the bulk program and would compile
+            # its own (1, N, H, W) variant — reuse the single-case program
+            # (identical outputs by construction; also what `cli warm`
+            # pre-compiles)
+            stem, img, vol, sp = buf[0]
+            buf = []
+            handle = engine.predict_case_submit(vol, thr)
+            flush_pending()
+            pending = (stem, img, handle, sp)
             return
         metas = [(s, i, sp) for s, i, _, sp in buf]
         group = np.stack([v for _, _, v, _ in buf])

@@ -34,12 +34,13 @@ class RingTruth:
 
     def circumference_px(self) -> float:
         """Ramanujan-II ellipse perimeter (the AC formula the pipeline
-        measures, ``…stage.py:356-358``)."""
+        measures, ``…stage.py:356-358``) — the SAME helper the pipeline
+        uses, so the analytic truth the probes score against can never
+        drift from the served formula."""
         if not self.present:
             return 0.0
-        a, b = self.rx, self.ry
-        h = ((a - b) / (a + b)) ** 2
-        return math.pi * (a + b) * (1 + 3 * h / (10 + math.sqrt(4 - 3 * h)))
+        from ..measure.ellipse import ellipse_circumference
+        return float(ellipse_circumference(self.rx, self.ry))
 
 
 def _speckle_background(rng, H: int, W: int) -> np.ndarray:

@@ -358,3 +358,42 @@ def test_cli_warm_compiles_declared_shapes(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("[warm]") == 2 and "3x40x48" in out
+
+
+def test_cli_warm_bulk_compiles_group_program(capsys):
+    """`warm --bulk N` also pre-compiles the predict --bulk group program
+    (a bulk group is its own (S, N, H, W) jit program — without this a
+    deployment serving --bulk pays the cold compile warm exists to
+    prevent); --bulk without --cascade is a loud error."""
+    import pytest
+
+    from att_aspp_unet_tpu.cli import main
+
+    rc = main(["warm", "--shapes", "2x24x28", "--base_c", "4",
+               "--img-size", "32", "--cascade", "--bulk", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[warm] bulk 2x2x24x28" in out
+
+    with pytest.raises(SystemExit):
+        main(["warm", "--shapes", "2x24x28", "--base_c", "4",
+              "--img-size", "32", "--bulk", "2"])
+
+
+def test_cli_predict_scout_flags_require_cascade(tmp_path):
+    """The scout flags only affect the cascade tier-1 ranking; without
+    --cascade they would be silently ignored (user believes the distilled
+    scout is serving, gets the exhaustive path) — the CLI rejects them the
+    same way predict_directory rejects --bulk without cascade."""
+    import pytest
+
+    from att_aspp_unet_tpu.cli import main
+
+    for extra in (["--scout_weights", str(tmp_path / "w.npz")],
+                  ["--scout_thr", "0.4"],
+                  ["--scout_base_c", "8"],
+                  ["--scout_no_clahe"],
+                  ["--scout_rank", "closed"]):
+        with pytest.raises(SystemExit):
+            main(["predict", "--weights", str(tmp_path / "none.npz"),
+                  "--input_dir", str(tmp_path)] + extra)

@@ -786,6 +786,66 @@ def test_scout_clahe_autodetect_from_summary(tiny_att, tmp_path):
     assert eng(cascade_scout_clahe=False)._scout_clahe is False
 
 
+def test_scout_thr_autodetect_from_thr_json(tiny_att, tmp_path):
+    """cascade_scout_thr=0 auto-adopts the scout's calibrated threshold
+    from the thr.json (fallback: summary.json) next to the weights — the
+    tier-1 rank mask thresholds the SCOUT's probability distribution, and
+    every fidelity probe ran with the scout's own calibrated value
+    (bench.py loads it explicitly; the engine must match).  The scout tier
+    never uses TTA, so best_thr_no_tta wins over best_thr.  An explicit
+    config value always overrides."""
+    import dataclasses as dc
+    import json as _json
+
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    cfg, variables = tiny_att
+    scout_model = AttentionASPPUNet.from_config(dc.replace(
+        cfg.model, base_c=2))
+    scout_vars = scout_model.init(jax.random.PRNGKey(7),
+                                  np.zeros((1, 32, 32, 1), np.float32),
+                                  train=False)
+    save_npz_variables(scout_vars, tmp_path / "weights.npz")
+
+    def eng(**kw):
+        ccfg = dc.replace(cfg, predict=dc.replace(
+            cfg.predict, cascade=True,
+            cascade_scout_weights=str(tmp_path / "weights.npz"),
+            cascade_scout_base_c=2, **kw))
+        return AttAsppEngine(ccfg, variables)
+
+    assert eng()._scout_thr == 0.0               # no sidecar → main thr
+    (tmp_path / "summary.json").write_text(_json.dumps(
+        {"base_c": 2, "best_thr": 0.41}))
+    assert eng()._scout_thr == 0.41              # summary fallback
+    (tmp_path / "thr.json").write_text(_json.dumps(
+        {"best_thr": 0.5, "best_thr_no_tta": 0.44}))
+    assert eng()._scout_thr == 0.44              # thr.json, no-TTA key
+    assert eng(cascade_scout_thr=0.31)._scout_thr == 0.31   # explicit wins
+    (tmp_path / "thr.json").write_text("not json")
+    assert eng()._scout_thr == 0.41              # unreadable → summary
+
+
+def test_noclahe_scout_without_lowres_enhance_raises(tiny_att, rng):
+    """A no-CLAHE scout with cascade_lowres_enhance=False is a hard error:
+    without low-res enhancement tier 1 shares tier 2's natively
+    CLAHE-enhanced frames, so the scout would silently rank input it was
+    never trained on (the exact off-distribution failure the summary.json
+    auto-adoption exists to prevent)."""
+    import dataclasses as dc
+
+    cfg, variables = tiny_att
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=4,
+        cascade_scout_clahe=False, cascade_lowres_enhance=False))
+    eng = AttAsppEngine(ccfg, variables)
+    with pytest.raises(ValueError, match="lowres_enhance"):
+        eng.predict_case(_sweep(rng, 6), (0.28, 0.28), threshold=0.5)
+    with pytest.raises(ValueError, match="lowres_enhance"):
+        eng.predict_bulk_submit(
+            np.stack([_sweep(rng, 6)] * 2), threshold=0.5)
+
+
 def test_scout_img_size_autodetect_from_summary(tiny_att, rng, tmp_path):
     """A scout's summary.json img_size pins the tier-1 resolution: the
     engine adopts it over a conflicting cascade_img_size (a scout must run
