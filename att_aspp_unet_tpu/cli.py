@@ -282,8 +282,14 @@ def cmd_warm(args) -> int:
     from .models import AttentionASPPUNet
     from .utils.compile_cache import enable_compilation_cache
 
-    if int(getattr(args, "bulk", 0) or 0) > 1 and not args.cascade:
+    bulk = int(getattr(args, "bulk", 0) or 0)
+    if bulk > 1 and not args.cascade:
         raise SystemExit("--bulk requires --cascade")
+    if bulk == 1 or bulk < 0:
+        # a --bulk 1 typo would pass the cascade guard yet warm no bulk
+        # program (groups need >= 2 cases) — fail loud instead of silently
+        # warming nothing
+        raise SystemExit("--bulk takes a group size >= 2 (or 0 to disable)")
     enable_compilation_cache()
     cfg = _base_config(args)
     from .config import PreprocessConfig

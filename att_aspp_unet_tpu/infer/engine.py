@@ -232,36 +232,37 @@ def _predict_case_impl(apply_fn, variables, sweep, n_valid, img_size,
     return cand_idx, _packbits_w(refined[..., :H, :W])
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
-    "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
-    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
-    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr",
-    "scout_clip", "scout_rank"))
-def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
-                               low_size, clahe_clip, clahe_grid,
-                               median_kernel, batch, tta, gauss_k, threshold,
-                               n_scout, n_cand, min_area_px, min_area_frac,
-                               close_kernel, bucket_hw,
-                               lowres_enhance: bool = False,
-                               scout_batch: int = 0,
-                               scout_apply_fn=None,
-                               scout_variables=None,
-                               scout_thr: float = 0.0,
-                               scout_clip: Optional[float] = None,
-                               scout_rank: str = "refined"):
-    """Two-tier predict_case: scout ALL frames at ``low_size`` (1/4 the
-    FLOPs at the default half resolution), promote the ``n_scout``
-    best-ranked to the full ``img_size`` forward, then rank / refine /
-    select exactly as the direct path does — one device program.
+def _cascade_candidates(apply_fn, variables, sweeps, n_valid, img_size,
+                        low_size, clahe_clip, clahe_grid, median_kernel,
+                        batch, tta, gauss_k, threshold, n_scout, n_cand,
+                        min_area_px, min_area_frac, close_kernel, bucket_hw,
+                        lowres_enhance: bool = False,
+                        scout_batch: int = 0,
+                        scout_apply_fn=None,
+                        scout_variables=None,
+                        scout_thr: float = 0.0,
+                        scout_clip: Optional[float] = None,
+                        scout_rank: str = "refined"):
+    """Two-tier cascade over an (S, N, H, W) stack of S independent
+    same-shape sweeps — THE single implementation behind both
+    :func:`_predict_case_cascade_impl` (S=1) and
+    :func:`_predict_bulk_cascade_impl`, traced inside each wrapper's jit.
 
-    The forward is ~80 % of the direct path's device time and candidate
-    selection only ever consults the top ``n_cand ≪ N`` frames, so paying
-    full resolution for every frame buys nothing the scout margin doesn't
-    keep.  Enhancement (CLAHE + median) runs ONCE at native resolution and
-    feeds both tiers — semantics preserved (the reference enhances before
-    its resize, ``…stage.py:492-494``).  Scouting never uses TTA; the
-    promoted frames honour the configured ``tta``.
+    Tier 1 scouts ALL S·N frames at ``low_size`` (1/4 the FLOPs at the
+    default half resolution) in one forward; promotion picks the
+    ``n_scout`` best-ranked frames PER SWEEP (the reference's unit of
+    selection is the sweep, ``analyze_ac.py:19``); tier 2 forwards the
+    S·n_scout promoted frames at full ``img_size`` in shared
+    micro-batches and ranks / refines / selects exactly as the direct
+    path does.  The forward is ~80 % of the direct path's device time
+    and candidate selection only ever consults the top ``n_cand ≪ N``
+    frames, so paying full resolution for every frame buys nothing the
+    scout margin doesn't keep.  Enhancement (CLAHE + median) runs ONCE
+    at native resolution and feeds both tiers — semantics preserved
+    (the reference enhances before its resize, ``…stage.py:492-494``).
+    Scouting never uses TTA; the promoted frames honour the configured
+    ``tta``.  All S·n_cand candidates refine in ONE bucketed call,
+    amortizing the latency-bound propagation across sweeps.
 
     ``lowres_enhance`` moves the scout tier's enhancement to ``low_size``
     too (CLAHE + median cost scales with pixels; native-res CLAHE over
@@ -288,6 +289,8 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
     hole-fill proxy).  Both are tier-1-only diets: tier 2's enhancement,
     ranking, refinement and selection are unchanged, so the served mask
     for any promoted frame is bit-identical to the direct path's.
+
+    Returns per-sweep ``(cand_idx (S, n_cand), packed (S, n_cand, H, Wb))``.
     """
     from ..postprocess.refine import _refine_mask_padded
 
@@ -309,104 +312,6 @@ def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
         # tier 1 without lowres_enhance SHARES tier 2's natively enhanced
         # frames — a divergent scout preprocessing would force a second
         # native-res enhancement pass, defeating the diet
-        scout_clip = clahe_clip
-    n = sweep.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    # ---- tier 1: low-res scout over every frame ----
-    if lowres_enhance:
-        lo_u8 = enhance_frames(
-            resize_bilinear(sweep.astype(jnp.float32), (low_size, low_size)),
-            scout_clip, clahe_grid, median_kernel)
-        x_lo = lo_u8.astype(jnp.float32) / 255.0
-    else:
-        u8 = enhance_frames(sweep, clahe_clip, clahe_grid, median_kernel)
-        xf = u8.astype(jnp.float32)
-        x_lo = resize_bilinear(xf, (low_size, low_size)) / 255.0
-    probs_lo = predict_sweep_probs(scout_apply_fn, scout_variables, x_lo,
-                                   scout_batch or batch, hflip=False)
-    binary_lo = (probs_lo > scout_thr).astype(jnp.uint8)
-    areas_lo = candidate_rank_areas(binary_lo, close_kernel,
-                                    fill_proxy=(scout_rank != "closed"))
-    areas_lo = jnp.where(idx < n_valid, areas_lo, -1)
-    scout_idx = jnp.lexsort((-idx, -areas_lo))[:n_scout]
-
-    # ---- tier 2: full-res forward on the promoted frames only ----
-    if lowres_enhance:
-        hi_u8 = enhance_frames(sweep[scout_idx], clahe_clip, clahe_grid,
-                               median_kernel)
-        xf_hi = hi_u8.astype(jnp.float32)
-    else:
-        xf_hi = xf[scout_idx]
-    x_hi = resize_bilinear(xf_hi, (img_size, img_size)) / 255.0
-    probs_hi = predict_sweep_probs(apply_fn, variables, x_hi, batch, tta)
-    native = resize_bilinear(probs_hi, sweep.shape[-2:])
-    probs = gaussian_blur(native, gauss_k, 0.0)
-    binary = (probs > threshold).astype(jnp.uint8)
-    areas = candidate_rank_areas(binary, close_kernel)
-    areas = jnp.where(scout_idx < n_valid, areas, -1)
-    # reference tie-break: equal areas prefer the higher ORIGINAL index
-    local = jnp.lexsort((-scout_idx, -areas))[:n_cand]
-    cand_idx = scout_idx[local]
-    cand = binary[local]
-    H, W = binary.shape[-2], binary.shape[-1]
-    hb, wb = bucket_hw
-    padded = jnp.pad(cand, ((0, 0), (0, hb - H), (0, wb - W)))
-    refined = _refine_mask_padded(padded, jnp.asarray([H, W], jnp.int32),
-                                  min_area_px, min_area_frac, close_kernel)
-    return cand_idx, _packbits_w(refined[..., :H, :W])
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
-    "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
-    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
-    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr",
-    "scout_clip", "scout_rank"))
-def _predict_bulk_cascade_impl(apply_fn, variables, sweeps, n_valid,
-                               img_size, low_size, clahe_clip, clahe_grid,
-                               median_kernel, batch, tta, gauss_k, threshold,
-                               n_scout, n_cand, min_area_px, min_area_frac,
-                               close_kernel, bucket_hw,
-                               lowres_enhance: bool = False,
-                               scout_batch: int = 0,
-                               scout_apply_fn=None,
-                               scout_variables=None,
-                               scout_thr: float = 0.0,
-                               scout_clip: Optional[float] = None,
-                               scout_rank: str = "refined"):
-    """BULK cascade: S independent sweeps → per-sweep candidates, one
-    device program.
-
-    The lean single-case cascade pays a ~76 ms n-independent fixed block
-    per call (tier-2 micro-batch + latency-bound refine + glue — probes
-    r33/r34); serving S sweeps one call at a time pays it S times.  This
-    runs the SAME two tiers over a (S, N, H, W) stack — the scout scans
-    all S·N frames in one forward, promotion/ranking happen per sweep
-    (the reference's unit of selection is the sweep, ``analyze_ac.py:19``),
-    tier 2 forwards the S·n_scout promoted frames in shared micro-batches,
-    and all S·n_cand candidates refine in ONE bucketed call, amortizing
-    the propagation latency across sweeps.
-
-    Per sweep the math is identical to ``_predict_case_cascade_impl`` —
-    every op is per-frame or per-sweep, so a bulk call and S single calls
-    pick the same frames and produce the same masks (tested exactly on
-    CPU).  One compile per (S, N, H, W) shape: callers batch fixed-size
-    groups (``AttAsppEngine.predict_bulk_submit``).
-    """
-    from ..postprocess.refine import _refine_mask_padded
-
-    if scout_apply_fn is None:
-        scout_apply_fn, scout_variables = apply_fn, variables
-    if not scout_thr:
-        scout_thr = threshold
-    if scout_clip is not None and scout_clip <= 0 and not lowres_enhance:
-        raise ValueError(
-            "a no-CLAHE scout (scout_clip<=0) requires "
-            "cascade_lowres_enhance=True: without it the scout tier shares "
-            "the natively CLAHE-enhanced frames and would rank "
-            "off-distribution input")
-    if scout_clip is None or not lowres_enhance:
         scout_clip = clahe_clip
     S, N = sweeps.shape[0], sweeps.shape[1]
     H, W = sweeps.shape[-2], sweeps.shape[-1]
@@ -449,6 +354,7 @@ def _predict_bulk_cascade_impl(apply_fn, variables, sweeps, n_valid,
     binary = (probs > threshold).astype(jnp.uint8)
     areas = candidate_rank_areas(binary, close_kernel).reshape(S, n_scout)
     areas = jnp.where(scout_idx < n_valid, areas, -1)
+    # reference tie-break: equal areas prefer the higher ORIGINAL index
     order = jax.vmap(lambda a, si: jnp.lexsort((-si, -a)))(areas, scout_idx)
     local = order[:, :n_cand]                              # (S, n_cand)
     cand_idx = jnp.take_along_axis(scout_idx, local, axis=1)
@@ -461,6 +367,75 @@ def _predict_bulk_cascade_impl(apply_fn, variables, sweeps, n_valid,
                                   min_area_px, min_area_frac, close_kernel)
     packed = _packbits_w(refined[..., :H, :W])
     return cand_idx, packed.reshape((S, n_cand) + packed.shape[-2:])
+
+
+_CASCADE_STATIC_ARGNAMES = (
+    "apply_fn", "img_size", "low_size", "clahe_clip", "clahe_grid",
+    "median_kernel", "batch", "tta", "gauss_k", "threshold", "n_scout",
+    "n_cand", "min_area_px", "min_area_frac", "close_kernel", "bucket_hw",
+    "lowres_enhance", "scout_batch", "scout_apply_fn", "scout_thr",
+    "scout_clip", "scout_rank")
+
+
+@functools.partial(jax.jit, static_argnames=_CASCADE_STATIC_ARGNAMES)
+def _predict_case_cascade_impl(apply_fn, variables, sweep, n_valid, img_size,
+                               low_size, clahe_clip, clahe_grid,
+                               median_kernel, batch, tta, gauss_k, threshold,
+                               n_scout, n_cand, min_area_px, min_area_frac,
+                               close_kernel, bucket_hw,
+                               lowres_enhance: bool = False,
+                               scout_batch: int = 0,
+                               scout_apply_fn=None,
+                               scout_variables=None,
+                               scout_thr: float = 0.0,
+                               scout_clip: Optional[float] = None,
+                               scout_rank: str = "refined"):
+    """Two-tier predict_case — the S=1 slice of :func:`_cascade_candidates`
+    (single source of truth for the tiers and the six scout knobs; the
+    leading singleton axis is added/removed inside the jit, so it is one
+    device program with no extra dispatches)."""
+    cand_idx, packed = _cascade_candidates(
+        apply_fn, variables, sweep[None], n_valid, img_size, low_size,
+        clahe_clip, clahe_grid, median_kernel, batch, tta, gauss_k,
+        threshold, n_scout, n_cand, min_area_px, min_area_frac,
+        close_kernel, bucket_hw, lowres_enhance, scout_batch,
+        scout_apply_fn, scout_variables, scout_thr, scout_clip, scout_rank)
+    return cand_idx[0], packed[0]
+
+
+@functools.partial(jax.jit, static_argnames=_CASCADE_STATIC_ARGNAMES)
+def _predict_bulk_cascade_impl(apply_fn, variables, sweeps, n_valid,
+                               img_size, low_size, clahe_clip, clahe_grid,
+                               median_kernel, batch, tta, gauss_k, threshold,
+                               n_scout, n_cand, min_area_px, min_area_frac,
+                               close_kernel, bucket_hw,
+                               lowres_enhance: bool = False,
+                               scout_batch: int = 0,
+                               scout_apply_fn=None,
+                               scout_variables=None,
+                               scout_thr: float = 0.0,
+                               scout_clip: Optional[float] = None,
+                               scout_rank: str = "refined"):
+    """BULK cascade: S independent sweeps → per-sweep candidates, one
+    device program (:func:`_cascade_candidates` verbatim).
+
+    The lean single-case cascade pays a ~76 ms n-independent fixed block
+    per call (tier-2 micro-batch + latency-bound refine + glue — probes
+    r33/r34); serving S sweeps one call at a time pays it S times.  Here
+    the scout scans all S·N frames in one forward, tier 2 forwards the
+    S·n_scout promoted frames in shared micro-batches, and all
+    candidates refine in ONE bucketed call.  Per sweep the math is
+    identical to ``_predict_case_cascade_impl`` — both are the same
+    traced body — so a bulk call and S single calls pick the same frames
+    and produce the same masks (tested exactly on CPU).  One compile per
+    (S, N, H, W) shape: callers batch fixed-size groups
+    (``AttAsppEngine.predict_bulk_submit``)."""
+    return _cascade_candidates(
+        apply_fn, variables, sweeps, n_valid, img_size, low_size,
+        clahe_clip, clahe_grid, median_kernel, batch, tta, gauss_k,
+        threshold, n_scout, n_cand, min_area_px, min_area_frac,
+        close_kernel, bucket_hw, lowres_enhance, scout_batch,
+        scout_apply_fn, scout_variables, scout_thr, scout_clip, scout_rank)
 
 
 def scout_micro_batch(n: int, requested: int, frame_batch: int) -> int:
@@ -630,10 +605,16 @@ class AttAsppEngine:
                     thr_src = json.loads(tj.read_text())
                 except (ValueError, OSError):
                     thr_src = {}
+            # pick the SOURCE first (thr.json wins if it holds either key,
+            # summary.json is the fallback), THEN the key preference within
+            # that source — merging per key would let a summary.json
+            # best_thr_no_tta outrank a thr.json that records only best_thr,
+            # inverting the documented precedence
+            src = thr_src if any(thr_src.get(k) for k in
+                                 ("best_thr_no_tta", "best_thr")) else meta
             for key in ("best_thr_no_tta", "best_thr"):
-                v = thr_src.get(key) or meta.get(key)
-                if v:
-                    self._scout_thr = float(v)
+                if src.get(key):
+                    self._scout_thr = float(src[key])
                     break
         scout_base_c = getattr(pc, "cascade_scout_base_c", None)
         if scout_base_c is None:

@@ -23,6 +23,13 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import Config
+
+# a bulk group holds two f32 device copies (native input + enhanced stack);
+# past ~6 GB of group buffers XLA spills across the v5e HBM cliff and bulk
+# runs far SLOWER than sequential (probe r36: 840-frame cases at S=3
+# measured ×0.11) — predict_directory auto-caps group sizes to stay under
+# this budget
+BULK_HBM_BUDGET_BYTES = 6.0e9
 from ..io import read_gray_png, read_json, read_mha, write_gray_png
 from .engine import AttAsppEngine
 from .outputs import write_output_mha_and_json
@@ -111,35 +118,23 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
     out_dir.mkdir(parents=True, exist_ok=True)
     rows: List[Tuple[str, int, float]] = []
 
-    # one sweep stays in flight across consecutive .mha cases: the next
-    # case's device work is dispatched before this case's host tail
-    # (mask pull + exact select + AC + file writes) runs
-    pending = None            # (stem, img, handle, (sx, sy))
+    # one handle stays in flight across consecutive .mha cases: the next
+    # case's (or group's) device work is dispatched before the previous
+    # one's host tail (mask pull + exact select + AC + file writes) runs.
+    # A single FIFO holds whatever is in flight — mixing single-case and
+    # bulk-group handles — so rows/ac_results.csv always come out in
+    # submission order (the reference's CSV contract, …stage.py:516-523)
+    pending_q: List[tuple] = []   # ("case", stem, img, handle, sp)
+    #                             | ("group", metas, handle)
 
-    def flush_pending():
-        nonlocal pending
-        if pending is None:
-            return
-        stem, img, handle, sp = pending
-        pending = None
+    def _collect_case(stem, img, handle, sp):
         best, best_mask, ac = engine.predict_case_collect(handle, sp)
         ac = round(ac, 1)
         write_output_mha_and_json(out_dir, stem, best_mask, best, img)
         rows.append((stem, int(best), ac))
         log(f"{stem}: best_frame={best}, AC={ac:.1f} mm")
 
-    # bulk grouping state (bulk_group > 1): same-shape cases accumulate,
-    # each full group dispatches as one predict_bulk program, and one
-    # group stays in flight exactly like the single-case pipeline above
-    buf: List[tuple] = []     # (stem, img, vol, (sx, sy))
-    pending_group = None      # ([(stem, img, sp), …], handle)
-
-    def flush_group_pending():
-        nonlocal pending_group
-        if pending_group is None:
-            return
-        metas, handle = pending_group
-        pending_group = None
+    def _collect_group(metas, handle):
         for (stem, img, sp), (best, best_mask, _) in zip(
                 metas, engine.predict_bulk_collect(handle)):
             ac = round(engine.measure(best_mask, sp), 1)
@@ -147,43 +142,54 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
             rows.append((stem, int(best), ac))
             log(f"{stem}: best_frame={best}, AC={ac:.1f} mm")
 
+    def drain(keep: int = 0):
+        while len(pending_q) > keep:
+            kind, *rest = pending_q.pop(0)
+            (_collect_case if kind == "case" else _collect_group)(*rest)
+
+    def submit_case(stem, img, vol, sp):
+        handle = engine.predict_case_submit(vol, thr)
+        pending_q.append(("case", stem, img, handle, sp))
+        drain(keep=1)
+
+    # bulk grouping state (bulk_group > 1): same-shape cases accumulate
+    # and each group dispatches as one predict_bulk program
+    buf: List[tuple] = []     # (stem, img, vol, (sx, sy))
+
     def submit_group():
-        nonlocal pending_group, buf, pending
+        # auto-cap the group size to the largest non-spilling S for the
+        # case shape and split oversized groups (module constant
+        # BULK_HBM_BUDGET_BYTES; the round-3 CLI only warned and then
+        # dispatched into the measured ×0.11 spill regime anyway)
+        nonlocal buf
         if not buf:
             return
-        if len(buf) == 1:
-            # a singleton group (ragged tail, or a shape change after one
-            # case) gains nothing from the bulk program and would compile
-            # its own (1, N, H, W) variant — reuse the single-case program
-            # (identical outputs by construction; also what `cli warm`
-            # pre-compiles)
-            stem, img, vol, sp = buf[0]
-            buf = []
-            handle = engine.predict_case_submit(vol, thr)
-            flush_pending()
-            pending = (stem, img, handle, sp)
-            return
-        metas = [(s, i, sp) for s, i, _, sp in buf]
-        group = np.stack([v for _, _, v, _ in buf])
-        buf = []
-        # the group holds two f32 device copies (native input + enhanced
-        # stack); past ~6 GB XLA spills across the v5e HBM cliff and bulk
-        # runs far SLOWER than sequential (probe r36: 840-frame cases at
-        # S=3 measured x0.11) — warn, the dispatch still completes
-        est_gb = 2 * 4 * group.size / 1e9
-        if est_gb > 6.0:
-            log(f"WARNING: bulk group of {group.shape[0]} cases needs "
-                f"~{est_gb:.1f} GB of device buffers — beyond the HBM "
-                f"cliff this is slower than sequential; use a smaller "
-                f"--bulk for inputs this large (probe r36)")
-        handle = engine.predict_bulk_submit(group, thr)
-        flush_group_pending()
-        pending_group = (metas, handle)
+        per_case = 2 * 4 * buf[0][2].size
+        cap = max(1, int(BULK_HBM_BUDGET_BYTES // per_case))
+        if cap < len(buf):
+            log(f"bulk group capped at {cap} case(s) "
+                f"(~{per_case / 1e9:.2f} GB of device buffers each, "
+                f"{BULK_HBM_BUDGET_BYTES / 1e9:.0f} GB HBM budget — "
+                f"probe r36); splitting the group")
+        while buf:
+            chunk, buf = buf[:cap], buf[cap:]
+            if len(chunk) == 1:
+                # a singleton group (ragged tail, a shape change after one
+                # case, or an HBM cap of 1) gains nothing from the bulk
+                # program and would compile its own (1, N, H, W) variant —
+                # reuse the single-case program (identical outputs by
+                # construction; also what `cli warm` pre-compiles)
+                submit_case(*chunk[0])
+                continue
+            metas = [(s, i, sp) for s, i, _, sp in chunk]
+            group = np.stack([v for _, _, v, _ in chunk])
+            handle = engine.predict_bulk_submit(group, thr)
+            pending_q.append(("group", metas, handle))
+            drain(keep=1)
 
     def flush_all():
         submit_group()
-        flush_group_pending()
-        flush_pending()
+        drain(keep=0)
 
     for p in sorted(Path(input_dir).iterdir()):
         ext = p.suffix.lower()
@@ -244,9 +250,7 @@ def predict_directory(cfg: Config, variables: dict, input_dir: Path,
                     continue
                 # fast path: refine only the top candidates (predict_case),
                 # pipelined one case ahead
-                handle = engine.predict_case_submit(vol, thr)
-                flush_pending()
-                pending = (p.stem, img, handle, (sx, sy))
+                submit_case(p.stem, img, vol, (sx, sy))
                 continue
 
             # diagnostics need every refined frame — reference-shaped path

@@ -84,20 +84,30 @@ def _ellipse_field(H, W, cy, cx, ry, rx, angle):
 
 def make_frame(rng: np.random.Generator, H: int, W: int,
                positive: bool = True,
-               quality: float = 1.0) -> Tuple[np.ndarray, np.ndarray,
-                                              RingTruth]:
+               quality: float = 1.0,
+               speckle_gain: float = 1.0,
+               n_distractors: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray, RingTruth]:
     """One (image_u8, mask_u8, truth) frame.
 
     ``quality`` ∈ [0, 1] scales rim contrast and completeness — a sweep
     ramps it so one frame is the clear best (like a real pass over the
     abdomen).
+
+    ``speckle_gain`` scales the multiplicative speckle field (noise
+    level) and ``n_distractors`` fixes the distractor-arc count; the
+    defaults (1.0 / None → 1–2 arcs) reproduce the historical generator
+    byte for byte, so the round-3 trained weights and probe seeds stay
+    valid.  The knobs exist for the fidelity-cohort sweeps (VERDICT r3
+    #3): cohort cases vary noise and clutter, not just geometry seeds.
     """
-    img = 22.0 + 95.0 * _speckle_background(rng, H, W)
+    img = 22.0 + 95.0 * speckle_gain * _speckle_background(rng, H, W)
     mask = np.zeros((H, W), np.uint8)
     truth = RingTruth(False)
 
     # distractor arcs (other anatomy) on most frames
-    for _ in range(rng.integers(1, 3)):
+    for _ in range(rng.integers(1, 3) if n_distractors is None
+                   else n_distractors):
         d = _ellipse_field(H, W,
                            rng.uniform(0.15 * H, 0.85 * H),
                            rng.uniform(0.2 * W, 0.8 * W),
@@ -163,11 +173,20 @@ def make_dataset(n_pos: int, n_neg: int, size: int,
 
 
 def make_sweep(n_frames: int, H: int, W: int, seed: int = 0,
-               best_frame: Optional[int] = None
+               best_frame: Optional[int] = None,
+               negative: bool = False,
+               speckle_gain: float = 1.0,
+               n_distractors: Optional[int] = None
                ) -> Tuple[np.ndarray, int, RingTruth]:
     """A sweep whose ring quality ramps up to a peak frame and away again
     (the real acquisition pattern); returns (frames_u8, best_idx, truth at
-    the best frame)."""
+    the best frame).
+
+    ``negative=True`` builds an abdomen-free sweep (distractors and
+    speckle only, best_idx −1 — the reference's no-detection contract,
+    ``model_attention_aspp.py:95-96``).  ``speckle_gain`` /
+    ``n_distractors`` pass through to :func:`make_frame`; the defaults
+    reproduce the historical generator exactly."""
     rng = np.random.default_rng(seed)
     if best_frame is None:
         best_frame = int(rng.integers(int(0.3 * n_frames),
@@ -177,11 +196,15 @@ def make_sweep(n_frames: int, H: int, W: int, seed: int = 0,
     for i in range(n_frames):
         dist = abs(i - best_frame) / max(n_frames * 0.25, 1)
         q = max(0.0, 1.0 - dist)
-        if q < 0.25:
-            im, _, _ = make_frame(rng, H, W, positive=False)
+        if negative or q < 0.25:
+            im, _, _ = make_frame(rng, H, W, positive=False,
+                                  speckle_gain=speckle_gain,
+                                  n_distractors=n_distractors)
         else:
-            im, _, tr = make_frame(rng, H, W, positive=True, quality=q)
+            im, _, tr = make_frame(rng, H, W, positive=True, quality=q,
+                                   speckle_gain=speckle_gain,
+                                   n_distractors=n_distractors)
             if i == best_frame:
                 best_truth = tr
         frames[i] = im
-    return frames, best_frame, best_truth
+    return frames, (-1 if negative else best_frame), best_truth

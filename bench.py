@@ -17,7 +17,11 @@ r21/r21b/r21d — 7/8 identical picks, the one deviation favorable, median
 AC error no worse).  The reference's own deployment path takes a far
 cruder shortcut (linspace-subsample to 128 of 840 frames,
 `model_attention_aspp.py:45`).  ``--no-cascade`` benches the exhaustive
-full-resolution path; the JSON line always carries ``serving_mode``.
+full-resolution path; the JSON line always carries ``serving_mode``, and
+in cascade mode it ALSO carries the honest exhaustive figure
+(``direct_case_dispatch_only_fps``, the path the ≥500 f/s north star
+describes) so the full-res rate stays regression-visible in the driver
+artifact (``--no-direct-figure`` skips it).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 500 — the BASELINE.md north star of ≥500 frames/s
@@ -154,6 +158,14 @@ def main() -> int:
                          "median AC error <= direct's.  --no-cascade "
                          "benches the exhaustive full-res path")
     ap.add_argument("--cascade-scouts", type=int, default=8)
+    ap.add_argument("--direct-figure", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="with cascade serving, ALSO measure the honest "
+                         "exhaustive direct path on the same case "
+                         "(dispatch-only) and report it as "
+                         "direct_case_dispatch_only_fps in the same JSON "
+                         "line, so the full-res figure the BASELINE.md "
+                         "north star describes stays regression-visible")
     ap.add_argument("--bulk", type=int, default=0,
                     help="also bench BULK multi-sweep serving: a group of "
                          "N independent --frames sweeps through ONE device "
@@ -482,6 +494,40 @@ def main() -> int:
             del line["sequential_fps"], line["dispatch_only_fps"]
             line["sweep_sequential_fps"] = round(seq_fps, 1)
             line["sweep_dispatch_only_fps"] = round(disp_fps, 1)
+
+        # ---- honest exhaustive (direct) figure ----
+        # The cascade is the deployment default, but the ≥500 f/s north
+        # star (BASELINE.md) literally describes the exhaustive full-res
+        # path: keep that figure regression-visible in the SAME driver
+        # artifact instead of only in NOTES.md probe text.  Dispatch-only
+        # (the device bound; pipelined serving measured within 1.3 % of
+        # it, probe r17) on the same input as the headline.
+        if args.cascade and args.direct_figure:
+            import dataclasses as _dc
+            dcfg = _dc.replace(cfg, predict=_dc.replace(
+                cfg.predict, cascade=False))
+            dengine = AttAsppEngine(dcfg, variables)
+            if args.case_frames and args.case_frames != args.frames:
+                d_in, d_n = case, args.case_frames
+            else:
+                d_in, d_n = sweep, args.frames
+            t0 = time.time()
+            dengine.predict_case_collect(
+                dengine.predict_case_submit(d_in, thr), (0.28, 0.28))
+            print(f"[bench] direct compile+first run {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            n_disp = max(2, args.iters)
+            t0 = time.time()
+            handles = [dengine.predict_case_submit(d_in, thr)
+                       for _ in range(n_disp)]
+            float(jnp.sum(handles[-1][0].astype(jnp.int32)))
+            d_disp = (time.time() - t0) / n_disp
+            for h in handles:
+                dengine.predict_case_collect(h, (0.28, 0.28))
+            print(f"[bench] direct({d_n}) dispatch-only {d_disp:.3f} s "
+                  f"({d_n / d_disp:.1f} f/s)", file=sys.stderr)
+            line["direct_case_dispatch_only_fps"] = round(d_n / d_disp, 1)
+            line["direct_case_frames"] = d_n
 
         # ---- bulk multi-sweep serving (--bulk S) ----
         # S independent sweeps in ONE device program: per-sweep picks, the

@@ -379,6 +379,13 @@ def test_cli_warm_bulk_compiles_group_program(capsys):
         main(["warm", "--shapes", "2x24x28", "--base_c", "4",
               "--img-size", "32", "--bulk", "2"])
 
+    # --bulk 1 passes the cascade guard but warms no bulk program (groups
+    # need >= 2 cases) — a typo must fail loud, not silently warm nothing
+    # (advisor r3 finding)
+    with pytest.raises(SystemExit):
+        main(["warm", "--shapes", "2x24x28", "--base_c", "4",
+              "--img-size", "32", "--cascade", "--bulk", "1"])
+
 
 def test_cli_predict_scout_flags_require_cascade(tmp_path):
     """The scout flags only affect the cascade tier-1 ranking; without

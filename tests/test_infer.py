@@ -250,6 +250,63 @@ def test_predict_directory_bulk_matches_per_case(tiny_att, tmp_path, rng):
                           threshold=0.5, bulk_group=2, log=lambda *a: None)
 
 
+def test_predict_directory_bulk_hbm_autocap(tiny_att, tmp_path, rng,
+                                            monkeypatch):
+    """Oversized bulk groups SPLIT to the largest non-spilling size
+    instead of warning and dispatching into the HBM-cliff regime (probe
+    r36 measured ×0.11 past ~6 GB; VERDICT r3 #7).  With the budget
+    monkeypatched so only 2 cases fit, --bulk 4 over 5 same-shape cases
+    must dispatch groups of (2, 2) plus a singleton via the single-case
+    program — and outputs must still match per-case serving in order."""
+    import dataclasses as dc
+
+    import att_aspp_unet_tpu.infer.predict_cli as pcli
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+
+    cfg, variables = tiny_att
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(5):
+        sweep = _sweep(rng, 8)
+        sweep[4, 8:30, 10:40] = 250
+        write_mha(in_dir / f"case{i}.mha",
+                  MetaImage(sweep, spacing=(0.3, 0.3, 0.3)))
+
+    per_case_bytes = 2 * 4 * (8 * 40 * 48)
+    monkeypatch.setattr(pcli, "BULK_HBM_BUDGET_BYTES", 2.5 * per_case_bytes)
+    group_sizes = []
+    orig_bulk = AttAsppEngine.predict_bulk_submit
+    orig_case = AttAsppEngine.predict_case_submit
+
+    def spy_bulk(self, group, thr=None):
+        group_sizes.append(int(group.shape[0]))
+        return orig_bulk(self, group, thr)
+
+    def spy_case(self, vol, thr=None):
+        group_sizes.append(1)
+        return orig_case(self, vol, thr)
+
+    monkeypatch.setattr(AttAsppEngine, "predict_bulk_submit", spy_bulk)
+    monkeypatch.setattr(AttAsppEngine, "predict_case_submit", spy_case)
+
+    ccfg = dc.replace(cfg, predict=dc.replace(
+        cfg.predict, cascade=True, cascade_img_size=32, cascade_scouts=4,
+        cascade_scout_batch=4, bulk_frame_batch=4))
+    logs = []
+    got = predict_directory(ccfg, variables, in_dir, tmp_path / "out",
+                            threshold=0.5, bulk_group=4,
+                            log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert group_sizes == [2, 2, 1], group_sizes
+    assert any("capped" in l for l in logs), logs
+    assert [r[0] for r in got] == [f"case{i}" for i in range(5)]
+
+    monkeypatch.setattr(AttAsppEngine, "predict_bulk_submit", orig_bulk)
+    monkeypatch.setattr(AttAsppEngine, "predict_case_submit", orig_case)
+    ref = predict_directory(ccfg, variables, in_dir, tmp_path / "ref",
+                            threshold=0.5, log=lambda *a: None)
+    assert got == ref
+
+
 def test_split_case_frame_and_spacing_map():
     assert split_case_frame("uuid_s17") == ("uuid", 17)
     assert split_case_frame("plain") == ("plain", -1)
@@ -824,6 +881,14 @@ def test_scout_thr_autodetect_from_thr_json(tiny_att, tmp_path):
     assert eng(cascade_scout_thr=0.31)._scout_thr == 0.31   # explicit wins
     (tmp_path / "thr.json").write_text("not json")
     assert eng()._scout_thr == 0.41              # unreadable → summary
+    # SOURCE precedence beats KEY precedence: a thr.json that records
+    # only best_thr must win over a summary.json best_thr_no_tta —
+    # merging per key would invert the documented "thr.json (fallback:
+    # summary.json)" order (advisor r3 finding)
+    (tmp_path / "summary.json").write_text(_json.dumps(
+        {"base_c": 2, "best_thr_no_tta": 0.41}))
+    (tmp_path / "thr.json").write_text(_json.dumps({"best_thr": 0.52}))
+    assert eng()._scout_thr == 0.52
 
 
 def test_noclahe_scout_without_lowres_enhance_raises(tiny_att, rng):
