@@ -231,6 +231,11 @@ def cmd_calibrate(args) -> int:
 def cmd_predict(args) -> int:
     from .infer.predict_cli import predict_directory
 
+    pbulk = int(getattr(args, "bulk", 0) or 0)
+    if pbulk == 1 or pbulk < 0:
+        # same typo guard as `warm --bulk`: 1 would silently serve the
+        # plain per-case path while the user believes groups are active
+        raise SystemExit("--bulk takes a group size >= 2 (or 0 to disable)")
     if not getattr(args, "cascade", False):
         # the scout flags only affect the cascade's tier-1 ranking —
         # without --cascade they would be silently ignored and the user

@@ -400,7 +400,10 @@ def test_cli_predict_scout_flags_require_cascade(tmp_path):
                   ["--scout_thr", "0.4"],
                   ["--scout_base_c", "8"],
                   ["--scout_no_clahe"],
-                  ["--scout_rank", "closed"]):
+                  ["--scout_rank", "closed"],
+                  # --bulk 1 would silently serve the per-case path
+                  # (groups need >= 2) — reject like `warm --bulk 1`
+                  ["--cascade", "--bulk", "1"]):
         with pytest.raises(SystemExit):
             main(["predict", "--weights", str(tmp_path / "none.npz"),
                   "--input_dir", str(tmp_path)] + extra)
