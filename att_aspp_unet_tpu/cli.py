@@ -60,7 +60,10 @@ def _base_config(args) -> "Config":
         # None = auto-detect from the scout's sibling summary.json
         cascade_scout_clahe=(False if getattr(args, "scout_no_clahe", False)
                              else None),
-        cascade_scout_rank=getattr(args, "scout_rank", "refined"))
+        cascade_scout_rank=getattr(args, "scout_rank", "refined"),
+        # AOT-serialized serving executables (utils/aot_cache; exported by
+        # `warm --export-aot`): boot with no remote compile at all
+        aot_dir=getattr(args, "aot", None))
     return Config(model=model, train=train, predict=predict)
 
 
@@ -329,6 +332,20 @@ def cmd_warm(args) -> int:
         from .infer.predict_cli import load_threshold
         thr = load_threshold(cfg, Path(args.thr_json))
     bulk = int(getattr(args, "bulk", 0) or 0)
+    if getattr(args, "export_aot", None):
+        # AOT-serialize the case-serving executables instead of relying on
+        # the compile cache: a fresh serving process (`predict --aot DIR`)
+        # deserializes them with NO remote compile at all (probes
+        # r38/r40/r41 — the sweep-shaped program's cross-process cache hit
+        # is at the mercy of remote-compile-service variance; the
+        # serialized executable is deterministic).  Export on the hardware
+        # + jax version you deploy on; entries are fingerprinted and a
+        # mismatch falls back to jit.
+        shapes = [tuple(int(t) for t in spec.lower().split("x"))
+                  for spec in args.shapes.split(",")]
+        engine.export_aot(args.export_aot, shapes, threshold=thr,
+                          log=print)
+        return 0
     for spec in args.shapes.split(","):
         n, h, w = (int(t) for t in spec.lower().split("x"))
         sweep = np.zeros((n, h, w), np.uint8)
@@ -550,6 +567,12 @@ def get_parser() -> argparse.ArgumentParser:
                          "into ONE device program (engine.predict_bulk, "
                          "x1.5 serving throughput — probe r35); requires "
                          "--cascade; outputs identical to per-case serving")
+    pr.add_argument("--aot", default=None, metavar="DIR",
+                    help="serve case programs from AOT-serialized "
+                         "executables in DIR (exported by `warm "
+                         "--export-aot` on this hardware) — no remote "
+                         "compile at boot; shapes without an entry fall "
+                         "back to jit")
     pr.add_argument("--scout_weights", default=None,
                     help="npz checkpoint of a DISTILLED SCOUT for the "
                          "cascade's tier-1 ranking forward (served masks "
@@ -699,6 +722,13 @@ def get_parser() -> argparse.ArgumentParser:
                     help="also pre-compile the predict --bulk N group "
                          "program for each shape (a bulk group is its own "
                          "(S,N,H,W) program; requires --cascade)")
+    wm.add_argument("--export-aot", default=None, metavar="DIR",
+                    help="instead of warming the compile cache, serialize "
+                         "the case-serving EXECUTABLES for the declared "
+                         "shapes to DIR (jax.experimental."
+                         "serialize_executable); `predict --aot DIR` then "
+                         "boots with no remote compile at all.  Export on "
+                         "the deployment hardware/jax version")
     wm.add_argument("--thr", type=float, default=None,
                     help="serving threshold to compile at (static jit arg "
                          "— must match deployment); default resolves "

@@ -310,6 +310,14 @@ class PredictConfig:
     # measured, fidelity-verified opt-out (12/12 picks identical).
     cascade_scout_rank: str = "refined"
     cascade_scout_thr: float = 0.0
+    # Directory of AOT-serialized case-serving executables
+    # (utils/aot_cache; exported by `cli warm --export-aot`).  When set,
+    # predict_case_submit serves a matching shape from the deserialized
+    # executable instead of jit — no remote compile at all on a fresh
+    # process (probe r41: deserialize 0.45 s + one ~13 s device load vs
+    # 43–174 s of remote-compile variance, outputs bit-identical).  A
+    # missing or stale entry silently falls back to the jit path.
+    aot_dir: Optional[str] = None
 
 
 @dataclass(frozen=True)

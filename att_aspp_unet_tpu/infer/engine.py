@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
+import time
 from pathlib import Path
 from typing import Callable, Dict, Optional, Tuple
 
@@ -533,6 +535,9 @@ class AttAsppEngine:
         # would be a cache miss and a full remote recompile per image.
         self._flax_apply = self._apply
         self._nval_cache: Dict[int, jax.Array] = {}
+        # AOT-deserialized executables, memoized per fingerprint (None =
+        # looked up and missed → jit path; utils/aot_cache)
+        self._aot_loaded: Dict[str, object] = {}
         self._init_scout(cfg, mesh)
         if self.model.conv_lowering == "int8" and "quant" in variables:
             # caller supplied pre-calibrated activation scales; match the
@@ -809,32 +814,21 @@ class AttAsppEngine:
         return self.predict_case_collect(self.predict_case_submit(
             sweep, threshold), spacing)
 
-    def predict_case_submit(self, sweep: np.ndarray,
-                            threshold: Optional[float] = None):
-        """Dispatch the device side of :meth:`predict_case` without blocking.
+    def _case_program(self, staged, nv, thr: float, n: int, H: int, W: int):
+        """Assemble the case-serving program call — ONE source of truth
+        for the jit dispatch (:meth:`predict_case_submit`), the AOT
+        export (:meth:`export_aot`) and the AOT lookup fingerprint
+        (``utils/aot_cache``).
 
-        Returns an opaque handle for :meth:`predict_case_collect`.  The
-        split lets a serving loop pipeline sweeps: submit sweep i+1 while
-        the host finishes (transfer + exact select + ellipse AC) sweep i,
-        hiding the ~50 ms/round-trip axon-tunnel latency under device
-        compute."""
+        Returns ``(fn, statics, dyn_kwargs)``: the full jit call is
+        ``fn(self._apply, self.variables, staged, nv, *statics.values(),
+        **dyn_kwargs, **static_kwargs)`` — concretely below — and the
+        AOT-compiled executable is invoked with only the dynamic leaves
+        ``(self.variables, staged, nv, **dyn_kwargs)``."""
         from ..postprocess.refine import refine_bucket_hw
 
-        p = self.cfg.preprocess
-        pc = self.cfg.predict
-        thr = pc.threshold if threshold is None else threshold
-        n, H, W = sweep.shape
+        p, pc = self.cfg.preprocess, self.cfg.predict
         m = max(1, min(pc.topk_frames + pc.refine_margin, n))
-
-        self._ensure_quant(sweep)
-        staged, pad = self._stage_frames(sweep)
-        # n_valid is a TRACED operand (one compile per padded shape bucket,
-        # not per frame count) staged once per distinct n so repeat calls
-        # don't pay a scalar upload through the tunnel
-        nv = self._nval_cache.get(n)
-        if nv is None:
-            nv = self._nval_cache.setdefault(
-                n, jax.device_put(np.int32(n)))
         if getattr(pc, "cascade", False):
             # The refined candidate set and the tier-2 micro-batch are both
             # bounded by the promote count: you cannot refine frames you
@@ -846,29 +840,138 @@ class AttAsppEngine:
             # re-rank in predict_case_collect always has its full set.
             n_scout = min(max(pc.cascade_scouts, pc.topk_frames),
                           staged.shape[0])
-            m_c = min(m, n_scout)
-            cand_idx, refined = _predict_case_cascade_impl(
-                self._apply, self.variables, staged, nv, p.img_size,
-                self._scout_img_size or pc.cascade_img_size,
-                p.clahe_clip, p.clahe_grid,
-                p.median_kernel, min(pc.frame_batch, n_scout), pc.tta_hflip,
-                pc.gaussian_kernel, float(thr), n_scout, m_c, pc.min_area_px,
-                pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W),
+            statics = dict(
+                img_size=p.img_size,
+                low_size=self._scout_img_size or pc.cascade_img_size,
+                clahe_clip=p.clahe_clip, clahe_grid=p.clahe_grid,
+                median_kernel=p.median_kernel,
+                batch=min(pc.frame_batch, n_scout), tta=pc.tta_hflip,
+                gauss_k=pc.gaussian_kernel, threshold=float(thr),
+                n_scout=n_scout, n_cand=min(m, n_scout),
+                min_area_px=pc.min_area_px, min_area_frac=pc.min_area_frac,
+                close_kernel=pc.close_kernel, bucket_hw=refine_bucket_hw(H, W),
                 lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
                 scout_batch=scout_micro_batch(
                     staged.shape[0], getattr(pc, "cascade_scout_batch", 0),
                     pc.frame_batch),
-                scout_apply_fn=self._scout_apply,
-                scout_variables=self._scout_variables,
                 scout_thr=self._scout_thr,
                 scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
                 scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
-            return cand_idx, refined, W
-        cand_idx, refined = _predict_case_impl(
-            self._apply, self.variables, staged, nv, p.img_size,
-            p.clahe_clip, p.clahe_grid, p.median_kernel, pc.frame_batch,
-            pc.tta_hflip, pc.gaussian_kernel, float(thr), m, pc.min_area_px,
-            pc.min_area_frac, pc.close_kernel, refine_bucket_hw(H, W))
+            return (_predict_case_cascade_impl, statics,
+                    {"scout_variables": self._scout_variables})
+        statics = dict(
+            img_size=p.img_size, clahe_clip=p.clahe_clip,
+            clahe_grid=p.clahe_grid, median_kernel=p.median_kernel,
+            batch=pc.frame_batch, tta=pc.tta_hflip,
+            gauss_k=pc.gaussian_kernel, threshold=float(thr), n_cand=m,
+            min_area_px=pc.min_area_px, min_area_frac=pc.min_area_frac,
+            close_kernel=pc.close_kernel, bucket_hw=refine_bucket_hw(H, W))
+        return _predict_case_impl, statics, {}
+
+    def _case_call_args(self, fn, statics, staged, nv):
+        """(args, kwargs) for the jit call of a case program: the four
+        leading operands positionally, every static by KEYWORD (the
+        static names differ slightly between the two impls — keyword
+        passing can never mis-slot one), plus the static scout apply fn
+        for the cascade."""
+        kw = dict(statics)
+        if fn is _predict_case_cascade_impl:
+            kw["scout_apply_fn"] = self._scout_apply
+        return (self._apply, self.variables, staged, nv), kw
+
+    def _aot_fingerprint(self, fn, statics, dyn_kwargs, staged, nv) -> str:
+        """AOT entry key: program name + dynamic shape/dtype tree (pins
+        the parameter tree, hence the architecture) + static values +
+        model/scout config + jax version/backend (utils/aot_cache)."""
+        from ..utils.aot_cache import program_key
+
+        statics_sig = dict(statics,
+                           model=repr(self.cfg.model),
+                           scout=repr((self.cfg.predict.cascade_scout_weights,
+                                       self._scout_img_size)))
+        return program_key(fn.__name__, (self.variables, staged, nv),
+                           dyn_kwargs, statics_sig)
+
+    def _aot_serve(self, fn, statics, dyn_kwargs, staged, nv):
+        """Dispatch via an AOT-deserialized executable when
+        ``PredictConfig.aot_dir`` holds a matching entry; None → caller
+        uses the jit path.  Loaded executables are memoized per engine."""
+        aot_dir = getattr(self.cfg.predict, "aot_dir", None)
+        if not aot_dir or self.mesh is not None:
+            # mesh serving bakes shardings into the executable — out of
+            # scope for the single-chip deployment artifact; jit handles it
+            return None
+        from ..utils.aot_cache import load_executable
+
+        key = self._aot_fingerprint(fn, statics, dyn_kwargs, staged, nv)
+        if key not in self._aot_loaded:
+            self._aot_loaded[key] = load_executable(
+                aot_dir, key, log=lambda m: print(m, file=sys.stderr))
+        exe = self._aot_loaded[key]
+        if exe is None:
+            return None
+        return exe(self.variables, staged, nv, **dyn_kwargs)
+
+    def export_aot(self, aot_dir, shapes, threshold: Optional[float] = None,
+                   log=print):
+        """Lower + compile the case-serving program for each ``(n, H, W)``
+        in ``shapes`` and serialize the executables to ``aot_dir``
+        (deployment cold-start elimination — NOTES.md probes r38/r40/r41;
+        run on the hardware + jax version you deploy on).  Returns the
+        entry keys.  ``cli warm --export-aot`` is the CLI surface."""
+        from ..utils.aot_cache import save_executable
+
+        pc = self.cfg.predict
+        thr = pc.threshold if threshold is None else threshold
+        keys = []
+        for (n, H, W) in shapes:
+            staged, _ = self._stage_frames(np.zeros((n, H, W), np.uint8))
+            nv = jax.device_put(np.int32(n))
+            fn, statics, dyn_kwargs = self._case_program(
+                staged, nv, float(thr), n, H, W)
+            args, static_kw = self._case_call_args(fn, statics, staged, nv)
+            key = self._aot_fingerprint(fn, statics, dyn_kwargs, staged, nv)
+            t0 = time.time()
+            compiled = fn.lower(*args, **static_kw, **dyn_kwargs).compile()
+            path = save_executable(
+                aot_dir, key, compiled,
+                meta={"program": fn.__name__, "shape": [n, H, W],
+                      "threshold": float(thr)})
+            log(f"[aot] {fn.__name__} {n}x{H}x{W} thr={float(thr):.3f} → "
+                f"{path.name} ({path.stat().st_size / 1e6:.1f} MB, "
+                f"compile {time.time() - t0:.1f}s)")
+            keys.append(key)
+        return keys
+
+    def predict_case_submit(self, sweep: np.ndarray,
+                            threshold: Optional[float] = None):
+        """Dispatch the device side of :meth:`predict_case` without blocking.
+
+        Returns an opaque handle for :meth:`predict_case_collect`.  The
+        split lets a serving loop pipeline sweeps: submit sweep i+1 while
+        the host finishes (transfer + exact select + ellipse AC) sweep i,
+        hiding the ~50 ms/round-trip axon-tunnel latency under device
+        compute."""
+        pc = self.cfg.predict
+        thr = pc.threshold if threshold is None else threshold
+        n, H, W = sweep.shape
+
+        self._ensure_quant(sweep)
+        staged, pad = self._stage_frames(sweep)
+        # n_valid is a TRACED operand (one compile per padded shape bucket,
+        # not per frame count) staged once per distinct n so repeat calls
+        # don't pay a scalar upload through the tunnel
+        nv = self._nval_cache.get(n)
+        if nv is None:
+            nv = self._nval_cache.setdefault(
+                n, jax.device_put(np.int32(n)))
+        fn, statics, dyn_kwargs = self._case_program(
+            staged, nv, float(thr), n, H, W)
+        out = self._aot_serve(fn, statics, dyn_kwargs, staged, nv)
+        if out is None:
+            args, static_kw = self._case_call_args(fn, statics, staged, nv)
+            out = fn(*args, **static_kw, **dyn_kwargs)
+        cand_idx, refined = out
         return cand_idx, refined, W
 
     def predict_case_collect(self, handle,

@@ -1,0 +1,135 @@
+"""AOT-serialized serving executables (utils/aot_cache + engine.aot_dir).
+
+The full export→fresh-process→serve round-trip is hardware territory
+(probe r41: bit-identical outputs, deserialize 0.45 s vs 43–174 s of
+remote-compile variance) because the CPU PJRT client cannot serialize
+executables containing sort comparators ("`LessThan` is not
+serializable") — the roundtrip test below self-skips in that case and
+runs fully wherever serialization is supported.  Everything else —
+fingerprint stability, miss/corrupt fallback to jit, the predict-CLI
+flag guard — is backend-independent and always runs.
+"""
+
+import dataclasses as dc
+
+import numpy as np
+import jax
+import pytest
+
+from att_aspp_unet_tpu.config import (Config, ModelConfig, PredictConfig,
+                                      PreprocessConfig)
+from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+from att_aspp_unet_tpu.models import AttentionASPPUNet
+from att_aspp_unet_tpu.tools.synthetic import make_sweep
+from att_aspp_unet_tpu.utils.aot_cache import load_executable, program_key
+
+
+def _cfg(**predict_kw):
+    return Config(
+        preprocess=PreprocessConfig(img_size=64),
+        model=ModelConfig(base_c=4, compute_dtype="float32"),
+        predict=PredictConfig(frame_batch=4, **predict_kw))
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = _cfg()
+    model = AttentionASPPUNet.from_config(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 1), np.float32), train=False)
+    return variables, make_sweep(8, 48, 56, seed=2)[0]
+
+
+def test_aot_miss_falls_back_to_jit(tiny, tmp_path):
+    """An aot_dir with no matching entry must serve through the jit path
+    with identical results — a stale AOT directory can cost time, never
+    correctness."""
+    variables, sweep = tiny
+    ref = AttAsppEngine(_cfg(), variables)
+    f0, m0, ac0 = ref.predict_case(sweep, (1.0, 1.0), threshold=0.5)
+    eng = AttAsppEngine(_cfg(aot_dir=str(tmp_path)), variables)
+    f1, m1, ac1 = eng.predict_case(sweep, (1.0, 1.0), threshold=0.5)
+    assert (f1, ac1) == (f0, ac0)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    assert eng._aot_loaded and all(v is None for v in
+                                   eng._aot_loaded.values())
+
+
+def test_aot_corrupt_entry_falls_back(tiny, tmp_path):
+    variables, sweep = tiny
+    eng = AttAsppEngine(_cfg(aot_dir=str(tmp_path)), variables)
+    # force the fingerprint the engine will look up, then corrupt it
+    staged, _ = eng._stage_frames(sweep)
+    nv = jax.device_put(np.int32(sweep.shape[0]))
+    fn, statics, dyn_kw = eng._case_program(staged, nv, 0.5, *sweep.shape)
+    key = eng._aot_fingerprint(fn, statics, dyn_kw, staged, nv)
+    (tmp_path / f"{key}.jaxexec").write_bytes(b"not a pickle")
+    f1, m1, _ = eng.predict_case(sweep, (1.0, 1.0), threshold=0.5)
+    assert m1.shape == sweep.shape[1:]
+    assert eng._aot_loaded[key] is None
+    assert load_executable(tmp_path, key) is None
+    assert load_executable(tmp_path, "missing-key") is None
+
+
+def test_aot_fingerprint_pins_program_identity(tiny):
+    """The key must be stable across engines with identical config and
+    move with anything that changes the compiled program (threshold,
+    shape, cascade mode) — a collision would serve the wrong program."""
+    variables, sweep = tiny
+
+    def key(cfg, thr, sw):
+        eng = AttAsppEngine(cfg, variables)
+        staged, _ = eng._stage_frames(sw)
+        nv = jax.device_put(np.int32(sw.shape[0]))
+        fn, statics, dyn_kw = eng._case_program(staged, nv, thr, *sw.shape)
+        return eng._aot_fingerprint(fn, statics, dyn_kw, staged, nv)
+
+    k1 = key(_cfg(), 0.5, sweep)
+    assert k1 == key(_cfg(), 0.5, sweep)                       # stable
+    assert k1 != key(_cfg(), 0.4, sweep)                       # threshold
+    assert k1 != key(_cfg(), 0.5, sweep[:, :40, :48])          # shape
+    ccfg = _cfg(cascade=True, cascade_img_size=32, cascade_scouts=4,
+                cascade_scout_batch=4)
+    assert k1 != key(ccfg, 0.5, sweep)                         # program
+
+
+def test_program_key_is_jsonable_and_distinct():
+    a = program_key("f", (np.zeros((2, 3)),), {}, {"x": 1})
+    assert a == program_key("f", (np.zeros((2, 3)),), {}, {"x": 1})
+    assert a != program_key("f", (np.zeros((2, 3)),), {}, {"x": 2})
+    assert a != program_key("g", (np.zeros((2, 3)),), {}, {"x": 1})
+    assert a != program_key("f", (np.zeros((2, 4)),), {}, {"x": 1})
+
+
+def test_aot_export_roundtrip_where_supported(tiny, tmp_path):
+    """export_aot → fresh engine with aot_dir → bit-identical serving.
+    Skips on backends whose PJRT client cannot serialize the program
+    (CPU: sort comparators); the TPU round-trip incl. a genuinely fresh
+    process is probe r41's record."""
+    variables, sweep = tiny
+    ref = AttAsppEngine(_cfg(), variables)
+    f0, m0, ac0 = ref.predict_case(sweep, (1.0, 1.0), threshold=0.5)
+    try:
+        keys = ref.export_aot(tmp_path, [sweep.shape], threshold=0.5,
+                              log=lambda *a: None)
+    except Exception as e:  # noqa: BLE001 — backend capability probe
+        pytest.skip(f"backend cannot serialize this executable: {e}")
+    assert (tmp_path / f"{keys[0]}.jaxexec").exists()
+    assert (tmp_path / "manifest.json").exists()
+    eng = AttAsppEngine(_cfg(aot_dir=str(tmp_path)), variables)
+    f1, m1, ac1 = eng.predict_case(sweep, (1.0, 1.0), threshold=0.5)
+    assert all(v is not None for v in eng._aot_loaded.values())
+    assert (f1, ac1) == (f0, ac0)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+
+
+def test_cli_predict_aot_flag_wires_config(tmp_path):
+    """predict --aot DIR lands in PredictConfig.aot_dir (and a missing
+    weights file still fails before any serving)."""
+    from att_aspp_unet_tpu.cli import _base_config
+
+    class A:
+        aot = str(tmp_path)
+
+    assert _base_config(A()).predict.aot_dir == str(tmp_path)
+    assert _base_config(object()).predict.aot_dir is None
