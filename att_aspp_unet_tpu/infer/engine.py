@@ -907,6 +907,11 @@ class AttAsppEngine:
         if key not in self._aot_loaded:
             self._aot_loaded[key] = load_executable(
                 aot_dir, key, log=lambda m: print(m, file=sys.stderr))
+            state = ("MISS (jit fallback)" if self._aot_loaded[key] is None
+                     else "hit")
+            print(f"[aot] {fn.__name__} "
+                  f"{'x'.join(map(str, staged.shape))} → {key}: {state}",
+                  file=sys.stderr)
         exe = self._aot_loaded[key]
         if exe is None:
             return None
