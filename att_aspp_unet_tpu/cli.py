@@ -344,7 +344,7 @@ def cmd_warm(args) -> int:
         shapes = [tuple(int(t) for t in spec.lower().split("x"))
                   for spec in args.shapes.split(",")]
         engine.export_aot(args.export_aot, shapes, threshold=thr,
-                          log=print)
+                          bulk=bulk, log=print)
         return 0
     for spec in args.shapes.split(","):
         n, h, w = (int(t) for t in spec.lower().split("x"))

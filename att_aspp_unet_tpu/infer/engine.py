@@ -868,14 +868,45 @@ class AttAsppEngine:
             close_kernel=pc.close_kernel, bucket_hw=refine_bucket_hw(H, W))
         return _predict_case_impl, statics, {}
 
+    def _bulk_program(self, staged, nv, thr: float, n: int, H: int, W: int):
+        """Bulk analog of :meth:`_case_program` — the same three
+        consumers (jit dispatch, AOT export, AOT fingerprint) for the
+        (S, N, H, W) group program."""
+        from ..postprocess.refine import refine_bucket_hw
+
+        p, pc = self.cfg.preprocess, self.cfg.predict
+        m = max(1, min(pc.topk_frames + pc.refine_margin, n))
+        n_scout = min(max(pc.cascade_scouts, pc.topk_frames),
+                      staged.shape[1])
+        statics = dict(
+            img_size=p.img_size,
+            low_size=self._scout_img_size or pc.cascade_img_size,
+            clahe_clip=p.clahe_clip, clahe_grid=p.clahe_grid,
+            median_kernel=p.median_kernel,
+            batch=min(getattr(pc, "bulk_frame_batch", 16),
+                      staged.shape[0] * n_scout),
+            tta=pc.tta_hflip, gauss_k=pc.gaussian_kernel,
+            threshold=float(thr), n_scout=n_scout, n_cand=min(m, n_scout),
+            min_area_px=pc.min_area_px, min_area_frac=pc.min_area_frac,
+            close_kernel=pc.close_kernel, bucket_hw=refine_bucket_hw(H, W),
+            lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
+            scout_batch=scout_micro_batch(
+                staged.shape[0] * staged.shape[1],
+                getattr(pc, "cascade_scout_batch", 0), pc.frame_batch),
+            scout_thr=self._scout_thr,
+            scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
+            scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
+        return (_predict_bulk_cascade_impl, statics,
+                {"scout_variables": self._scout_variables})
+
     def _case_call_args(self, fn, statics, staged, nv):
-        """(args, kwargs) for the jit call of a case program: the four
-        leading operands positionally, every static by KEYWORD (the
-        static names differ slightly between the two impls — keyword
+        """(args, kwargs) for the jit call of a case/bulk program: the
+        four leading operands positionally, every static by KEYWORD (the
+        static names differ slightly between the impls — keyword
         passing can never mis-slot one), plus the static scout apply fn
-        for the cascade."""
+        for the cascade programs."""
         kw = dict(statics)
-        if fn is _predict_case_cascade_impl:
+        if fn is not _predict_case_impl:
             kw["scout_apply_fn"] = self._scout_apply
         return (self._apply, self.variables, staged, nv), kw
 
@@ -918,15 +949,33 @@ class AttAsppEngine:
         return exe(self.variables, staged, nv, **dyn_kwargs)
 
     def export_aot(self, aot_dir, shapes, threshold: Optional[float] = None,
-                   log=print):
+                   bulk: int = 0, log=print):
         """Lower + compile the case-serving program for each ``(n, H, W)``
-        in ``shapes`` and serialize the executables to ``aot_dir``
-        (deployment cold-start elimination — NOTES.md probes r38/r40/r41;
-        run on the hardware + jax version you deploy on).  Returns the
-        entry keys.  ``cli warm --export-aot`` is the CLI surface."""
+        in ``shapes`` — plus, with ``bulk`` > 1 on a cascade config, the
+        ``(bulk, n, H, W)`` group program — and serialize the executables
+        to ``aot_dir`` (deployment cold-start elimination — NOTES.md
+        probes r38/r40/r41; run on the hardware + jax version you deploy
+        on).  Returns the entry keys.  ``cli warm --export-aot`` is the
+        CLI surface."""
         from ..utils.aot_cache import save_executable
 
         pc = self.cfg.predict
+
+        def _one(fn, statics, dyn_kwargs, staged, nv, shape_label, thr):
+            args, static_kw = self._case_call_args(fn, statics, staged, nv)
+            key = self._aot_fingerprint(fn, statics, dyn_kwargs, staged, nv)
+            t0 = time.time()
+            compiled = fn.lower(*args, **static_kw, **dyn_kwargs).compile()
+            path = save_executable(
+                aot_dir, key, compiled,
+                meta={"program": fn.__name__, "shape": shape_label,
+                      "threshold": float(thr)})
+            log(f"[aot] {fn.__name__} {'x'.join(map(str, shape_label))} "
+                f"thr={float(thr):.3f} → {path.name} "
+                f"({path.stat().st_size / 1e6:.1f} MB, "
+                f"compile {time.time() - t0:.1f}s)")
+            return key
+
         thr = pc.threshold if threshold is None else threshold
         keys = []
         for (n, H, W) in shapes:
@@ -934,18 +983,20 @@ class AttAsppEngine:
             nv = jax.device_put(np.int32(n))
             fn, statics, dyn_kwargs = self._case_program(
                 staged, nv, float(thr), n, H, W)
-            args, static_kw = self._case_call_args(fn, statics, staged, nv)
-            key = self._aot_fingerprint(fn, statics, dyn_kwargs, staged, nv)
-            t0 = time.time()
-            compiled = fn.lower(*args, **static_kw, **dyn_kwargs).compile()
-            path = save_executable(
-                aot_dir, key, compiled,
-                meta={"program": fn.__name__, "shape": [n, H, W],
-                      "threshold": float(thr)})
-            log(f"[aot] {fn.__name__} {n}x{H}x{W} thr={float(thr):.3f} → "
-                f"{path.name} ({path.stat().st_size / 1e6:.1f} MB, "
-                f"compile {time.time() - t0:.1f}s)")
-            keys.append(key)
+            keys.append(_one(fn, statics, dyn_kwargs, staged, nv,
+                             [n, H, W], thr))
+            if bulk > 1 and getattr(pc, "cascade", False):
+                # stage exactly as predict_bulk_submit does (device pad
+                # of the frame axis; single-device — AOT skips the mesh)
+                arr = jnp.asarray(np.zeros((bulk, n, H, W), np.uint8))
+                pad_n = (-n) % pc.frame_batch
+                if pad_n:
+                    arr = jnp.pad(arr,
+                                  ((0, 0), (0, pad_n), (0, 0), (0, 0)))
+                bfn, bstatics, bdyn = self._bulk_program(
+                    arr, nv, float(thr), n, H, W)
+                keys.append(_one(bfn, bstatics, bdyn, arr, nv,
+                                 [bulk, n, H, W], thr))
         return keys
 
     def predict_case_submit(self, sweep: np.ndarray,
@@ -1019,15 +1070,11 @@ class AttAsppEngine:
         parallel; ragged groups pad with zero sweeps that are dropped at
         collect).
         """
-        from ..postprocess.refine import refine_bucket_hw
-
-        p = self.cfg.preprocess
         pc = self.cfg.predict
         if not getattr(pc, "cascade", False):
             raise ValueError("predict_bulk requires PredictConfig.cascade")
         S, n, H, W = sweeps.shape
         thr = pc.threshold if threshold is None else threshold
-        m = max(1, min(pc.topk_frames + pc.refine_margin, n))
         self._ensure_quant(sweeps[0])
         # stage WITHOUT a host round trip: a device-resident group must
         # stay device-resident (np-concatenate staging here re-uploaded
@@ -1051,27 +1098,13 @@ class AttAsppEngine:
         nv = self._nval_cache.get(n)
         if nv is None:
             nv = self._nval_cache.setdefault(n, jax.device_put(np.int32(n)))
-        n_scout = min(max(pc.cascade_scouts, pc.topk_frames),
-                      staged.shape[1])
-        m_c = min(m, n_scout)
-        t2_batch = min(getattr(pc, "bulk_frame_batch", 16),
-                       staged.shape[0] * n_scout)
-        cand_idx, packed = _predict_bulk_cascade_impl(
-            self._apply, self.variables, staged, nv, p.img_size,
-            self._scout_img_size or pc.cascade_img_size,
-            p.clahe_clip, p.clahe_grid, p.median_kernel, t2_batch,
-            pc.tta_hflip, pc.gaussian_kernel, float(thr), n_scout, m_c,
-            pc.min_area_px, pc.min_area_frac, pc.close_kernel,
-            refine_bucket_hw(H, W),
-            lowres_enhance=getattr(pc, "cascade_lowres_enhance", False),
-            scout_batch=scout_micro_batch(
-                staged.shape[0] * staged.shape[1],
-                getattr(pc, "cascade_scout_batch", 0), pc.frame_batch),
-            scout_apply_fn=self._scout_apply,
-            scout_variables=self._scout_variables,
-            scout_thr=self._scout_thr,
-            scout_clip=p.clahe_clip if self._scout_clahe else 0.0,
-            scout_rank=getattr(pc, "cascade_scout_rank", "refined"))
+        fn, statics, dyn_kwargs = self._bulk_program(
+            staged, nv, float(thr), n, H, W)
+        out = self._aot_serve(fn, statics, dyn_kwargs, staged, nv)
+        if out is None:
+            args, static_kw = self._case_call_args(fn, statics, staged, nv)
+            out = fn(*args, **static_kw, **dyn_kwargs)
+        cand_idx, packed = out
         return cand_idx, packed, W, S
 
     def predict_bulk_collect(self, handle,

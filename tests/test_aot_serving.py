@@ -123,6 +123,43 @@ def test_aot_export_roundtrip_where_supported(tiny, tmp_path):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
 
 
+def test_aot_bulk_miss_falls_back_and_roundtrips_where_supported(
+        tiny, tmp_path):
+    """The BULK group program serves through the same AOT lookup: an
+    empty dir falls back to jit with per-sweep results identical to the
+    jit engine; where the backend can serialize, `export_aot(bulk=S)`
+    round-trips bit-exactly (TPU record: probe r41 pattern)."""
+    variables, sweep = tiny
+    ccfg = _cfg(cascade=True, cascade_img_size=32, cascade_scouts=4,
+                cascade_scout_batch=4, bulk_frame_batch=4)
+    group = np.stack([sweep, sweep[::-1]])
+    ref = AttAsppEngine(ccfg, variables)
+    r0 = ref.predict_bulk(group, (1.0, 1.0), threshold=0.5)
+
+    eng = AttAsppEngine(dc.replace(ccfg, predict=dc.replace(
+        ccfg.predict, aot_dir=str(tmp_path))), variables)
+    r1 = eng.predict_bulk(group, (1.0, 1.0), threshold=0.5)
+    assert eng._aot_loaded and all(v is None for v in
+                                   eng._aot_loaded.values())
+    for (f0, m0, a0), (f1, m1, a1) in zip(r0, r1):
+        assert (f1, a1) == (f0, a0)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+
+    try:
+        keys = ref.export_aot(tmp_path, [sweep.shape], threshold=0.5,
+                              bulk=2, log=lambda *a: None)
+    except Exception as e:  # noqa: BLE001 — backend capability probe
+        pytest.skip(f"backend cannot serialize this executable: {e}")
+    assert len(keys) == 2            # case program + bulk group program
+    eng2 = AttAsppEngine(dc.replace(ccfg, predict=dc.replace(
+        ccfg.predict, aot_dir=str(tmp_path))), variables)
+    r2 = eng2.predict_bulk(group, (1.0, 1.0), threshold=0.5)
+    assert all(v is not None for v in eng2._aot_loaded.values())
+    for (f0, m0, a0), (f2, m2, a2) in zip(r0, r2):
+        assert (f2, a2) == (f0, a0)
+        np.testing.assert_array_equal(np.asarray(m2), np.asarray(m0))
+
+
 def test_cli_predict_aot_flag_wires_config(tmp_path):
     """predict --aot DIR lands in PredictConfig.aot_dir (and a missing
     weights file still fails before any serving)."""
