@@ -26,4 +26,18 @@ COPY --chown=user:user inference.py /opt/app/
 # or baked by the deployment, see resources/README.md)
 COPY --chown=user:user resources /opt/app/resources
 
+# ---- AOT boot path (VERDICT r4 #7; NOTES.md probes r38/r40/r41) ----
+# Serialized serving executables remove the remote compiler from the boot
+# path entirely (probe r41: first call 2.3 s vs 43–174 s compile variance).
+# Executables are DEVICE- and jax-version-specific, so this export step must
+# run ON the deployment hardware — i.e. build the image on (or `docker run
+# … warm` once from) the TPU host it will serve on, then bake/mount the
+# directory.  On a CPU build host, leave it unset: a missing/mismatched
+# directory logs `[aot] … MISS (jit fallback)` and serves via jit, never
+# wrong.  Example export (deployment hardware, matching the case shape):
+#   python -m att_aspp_unet_tpu.cli warm --export-aot /opt/app/aot --roi \
+#       --weights <ckpt> --shapes 840x562x744 [--cascade --bulk 2]
+# The entrypoint picks the directory up automatically when it exists:
+ENV ATT_ASPP_AOT_DIR=/opt/app/aot
+
 ENTRYPOINT [ "python", "-m", "inference" ]

@@ -344,7 +344,8 @@ def cmd_warm(args) -> int:
         shapes = [tuple(int(t) for t in spec.lower().split("x"))
                   for spec in args.shapes.split(",")]
         engine.export_aot(args.export_aot, shapes, threshold=thr,
-                          bulk=bulk, log=print)
+                          bulk=bulk, roi=bool(getattr(args, "roi", False)),
+                          log=print)
         return 0
     for spec in args.shapes.split(","):
         n, h, w = (int(t) for t in spec.lower().split("x"))
@@ -614,6 +615,11 @@ def get_parser() -> argparse.ArgumentParser:
     ic.add_argument("--weights")
     ic.add_argument("--plans", help="nnU-Net plans.json for the baseline "
                     "model architecture")
+    ic.add_argument("--aot", default=None, metavar="DIR",
+                    help="serve from AOT-serialized executables (exported "
+                         "via `warm --export-aot --roi` on this hardware); "
+                         "env ATT_ASPP_AOT_DIR is the container-contract "
+                         "equivalent")
     ic.add_argument("--dataset-json", help="nnU-Net dataset.json "
                     "(num_classes / in_channels)")
     ic.add_argument("--int8", action="store_true",
@@ -722,6 +728,11 @@ def get_parser() -> argparse.ArgumentParser:
                     help="also pre-compile the predict --bulk N group "
                          "program for each shape (a bulk group is its own "
                          "(S,N,H,W) program; requires --cascade)")
+    wm.add_argument("--roi", action="store_true",
+                    help="with --export-aot: also serialize the container "
+                         "ROI program (the Grand-Challenge boot path; "
+                         "serve via infer-container --aot DIR or env "
+                         "ATT_ASPP_AOT_DIR)")
     wm.add_argument("--export-aot", default=None, metavar="DIR",
                     help="instead of warming the compile cache, serialize "
                          "the case-serving EXECUTABLES for the declared "

@@ -136,12 +136,23 @@ def run(cfg: Config, variables: dict, case_id: Optional[str] = None,
 
 
 def run_from_env(cfg: Config, variables: dict, **kw) -> int:
-    """Entry honouring the reference's env-var contract."""
+    """Entry honouring the reference's env-var contract (MODEL_TAG /
+    CASE_ID, ``inference.py:29-31``) plus the AOT boot path:
+    ``ATT_ASPP_AOT_DIR`` names a directory of serialized serving
+    executables (``cli warm --export-aot --roi``, exported on the
+    deployment hardware at image-build time).  When the directory
+    exists, serving programs boot from it with no remote compile; a
+    fingerprint miss logs ``[aot] … MISS (jit fallback)`` and costs time,
+    never correctness (utils/aot_cache)."""
     import dataclasses
 
     ccfg = dataclasses.replace(
         cfg.container,
         model_tag=os.getenv("MODEL_TAG", cfg.container.model_tag),
         case_id=os.getenv("CASE_ID", cfg.container.case_id))
-    return run(dataclasses.replace(cfg, container=ccfg), variables,
-               case_id=ccfg.case_id, **kw)
+    aot = os.getenv("ATT_ASPP_AOT_DIR", "")
+    pcfg = cfg.predict
+    if aot and Path(aot).is_dir() and not getattr(pcfg, "aot_dir", None):
+        pcfg = dataclasses.replace(pcfg, aot_dir=aot)
+    return run(dataclasses.replace(cfg, container=ccfg, predict=pcfg),
+               variables, case_id=ccfg.case_id, **kw)

@@ -515,6 +515,14 @@ class AttAsppEngine:
                  model: Optional[AttentionASPPUNet] = None, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        c1p = getattr(cfg.model, "c1_pad", 0)
+        if c1p and (variables["params"]["d1_0"]["conv"]["kernel"].shape[-1]
+                    != c1p):
+            # direct-layout checkpoint served under the channel-padded
+            # lowering: zero-pad once at construction (nn/cpad.py) —
+            # numerically the identity on the real channels
+            from ..nn.cpad import pad_variables_c1
+            variables = pad_variables_c1(variables, cfg.model.base_c, c1p)
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
         if mesh is not None:
@@ -538,6 +546,10 @@ class AttAsppEngine:
         # AOT-deserialized executables, memoized per fingerprint (None =
         # looked up and missed → jit path; utils/aot_cache)
         self._aot_loaded: Dict[str, object] = {}
+        # memoized fingerprints: the full variables-tree flatten + JSON +
+        # sha256 costs host time on every ~76 ms serving submit otherwise;
+        # invalidated wherever self.variables is reassigned
+        self._aot_key_cache: Dict[tuple, str] = {}
         self._init_scout(cfg, mesh)
         if self.model.conv_lowering == "int8" and "quant" in variables:
             # caller supplied pre-calibrated activation scales; match the
@@ -675,6 +687,7 @@ class AttAsppEngine:
                 quant, replicate(self.mesh))
         else:
             self.variables["quant"] = jax.device_put(quant)
+        self._aot_key_cache.clear()
         self._prequantize_int8()
 
     def _prequantize_int8(self) -> None:
@@ -701,6 +714,7 @@ class AttAsppEngine:
             from ..parallel.mesh import replicate
             new_vars = jax.device_put(new_vars, replicate(self.mesh))
         self.variables = new_vars
+        self._aot_key_cache.clear()
 
     def _maybe_enable_fast_forward(self):
         """Swap in the packed BN-folded forward (fused Pallas conv pairs,
@@ -732,6 +746,7 @@ class AttAsppEngine:
             from ..parallel.mesh import replicate
             plan = jax.device_put(plan, replicate(self.mesh))
         self.variables = plan
+        self._aot_key_cache.clear()
         # forcing the fast path on CPU (tests) runs the Pallas pairs in
         # interpret mode
         self._apply = _ff.make_fast_apply(
@@ -899,31 +914,59 @@ class AttAsppEngine:
         return (_predict_bulk_cascade_impl, statics,
                 {"scout_variables": self._scout_variables})
 
-    def _case_call_args(self, fn, statics, staged, nv):
-        """(args, kwargs) for the jit call of a case/bulk program: the
-        four leading operands positionally, every static by KEYWORD (the
+    def _roi_program(self, staged):
+        """ROI-path analog of :meth:`_case_program` (container boot path,
+        ``inference.py:50-133`` contract) — same three consumers: jit
+        dispatch, AOT export, AOT fingerprint.  The ROI program has no
+        ``nv`` operand (the subsample index map is applied host-side)."""
+        p, pc = self.cfg.preprocess, self.cfg.predict
+        statics = dict(clahe_clip=p.clahe_clip, clahe_grid=p.clahe_grid,
+                       median_kernel=p.median_kernel, roi=pc.roi_size,
+                       batch=pc.frame_batch)
+        return _predict_roi_impl, statics, {}
+
+    def _case_call_args(self, fn, statics, staged, nv=None):
+        """(args, kwargs) for the jit call of a case/bulk/roi program:
+        the leading operands positionally, every static by KEYWORD (the
         static names differ slightly between the impls — keyword
         passing can never mis-slot one), plus the static scout apply fn
-        for the cascade programs."""
+        for the cascade programs.  ``nv=None`` → programs without the
+        frame-count operand (ROI)."""
         kw = dict(statics)
-        if fn is not _predict_case_impl:
+        if fn not in (_predict_case_impl, _predict_roi_impl):
             kw["scout_apply_fn"] = self._scout_apply
-        return (self._apply, self.variables, staged, nv), kw
+        args = (self._apply, self.variables, staged)
+        return (args if nv is None else args + (nv,)), kw
 
-    def _aot_fingerprint(self, fn, statics, dyn_kwargs, staged, nv) -> str:
+    def _aot_fingerprint(self, fn, statics, dyn_kwargs, staged,
+                         nv=None) -> str:
         """AOT entry key: program name + dynamic shape/dtype tree (pins
         the parameter tree, hence the architecture) + static values +
-        model/scout config + jax version/backend (utils/aot_cache)."""
+        model/scout config + jax version/backend (utils/aot_cache).
+
+        Memoized per (program, staged shape/dtype, statics): the variables
+        tree and dyn_kwargs are engine-lifetime state, so the expensive
+        tree-flatten + JSON + sha256 runs once per program per engine, not
+        on every submit; ``self._aot_key_cache`` is cleared wherever
+        ``self.variables`` is reassigned."""
+        memo = (fn.__name__, tuple(staged.shape), str(staged.dtype),
+                tuple(sorted(statics.items())))
+        hit = self._aot_key_cache.get(memo)
+        if hit is not None:
+            return hit
         from ..utils.aot_cache import program_key
 
         statics_sig = dict(statics,
                            model=repr(self.cfg.model),
                            scout=repr((self.cfg.predict.cascade_scout_weights,
                                        self._scout_img_size)))
-        return program_key(fn.__name__, (self.variables, staged, nv),
-                           dyn_kwargs, statics_sig)
+        dyn = ((self.variables, staged) if nv is None
+               else (self.variables, staged, nv))
+        key = program_key(fn.__name__, dyn, dyn_kwargs, statics_sig)
+        self._aot_key_cache[memo] = key
+        return key
 
-    def _aot_serve(self, fn, statics, dyn_kwargs, staged, nv):
+    def _aot_serve(self, fn, statics, dyn_kwargs, staged, nv=None):
         """Dispatch via an AOT-deserialized executable when
         ``PredictConfig.aot_dir`` holds a matching entry; None → caller
         uses the jit path.  Loaded executables are memoized per engine."""
@@ -946,20 +989,31 @@ class AttAsppEngine:
         exe = self._aot_loaded[key]
         if exe is None:
             return None
+        if nv is None:
+            return exe(self.variables, staged, **dyn_kwargs)
         return exe(self.variables, staged, nv, **dyn_kwargs)
 
     def export_aot(self, aot_dir, shapes, threshold: Optional[float] = None,
-                   bulk: int = 0, log=print):
+                   bulk: int = 0, roi: bool = False, log=print):
         """Lower + compile the case-serving program for each ``(n, H, W)``
         in ``shapes`` — plus, with ``bulk`` > 1 on a cascade config, the
-        ``(bulk, n, H, W)`` group program — and serialize the executables
-        to ``aot_dir`` (deployment cold-start elimination — NOTES.md
-        probes r38/r40/r41; run on the hardware + jax version you deploy
-        on).  Returns the entry keys.  ``cli warm --export-aot`` is the
-        CLI surface."""
+        ``(bulk, n, H, W)`` group program, and with ``roi``, the
+        container's ROI program (``predict_roi`` — the Grand-Challenge
+        boot path) — and serialize the executables to ``aot_dir``
+        (deployment cold-start elimination — NOTES.md probes r38/r40/r41;
+        run on the hardware + jax version you deploy on).  Returns the
+        entry keys.  ``cli warm --export-aot`` is the CLI surface."""
         from ..utils.aot_cache import save_executable
 
         pc = self.cfg.predict
+        if self.mesh is not None:
+            # _aot_serve skips mesh engines (shardings would be baked into
+            # the artifact) — exporting from one would write entries that
+            # can never be served; fail loudly instead of silently
+            raise ValueError(
+                "export_aot requires a single-device engine: mesh-sharded "
+                "executables bake shardings into the artifact and the AOT "
+                "serving path (_aot_serve) never loads them")
 
         def _one(fn, statics, dyn_kwargs, staged, nv, shape_label, thr):
             args, static_kw = self._case_call_args(fn, statics, staged, nv)
@@ -979,6 +1033,13 @@ class AttAsppEngine:
         thr = pc.threshold if threshold is None else threshold
         keys = []
         for (n, H, W) in shapes:
+            # int8 lowering: calibrate activation scales BEFORE lowering
+            # (zero-sweep calibration, matching `warm`) — otherwise the
+            # export either traces without the 'quant' collection or
+            # fingerprints a tree that serve time (which calibrates
+            # lazily) can never match, making `predict --aot` silently
+            # fall back to jit for int8 deployments
+            self._ensure_quant(np.zeros((n, H, W), np.uint8))
             staged, _ = self._stage_frames(np.zeros((n, H, W), np.uint8))
             nv = jax.device_put(np.int32(n))
             fn, statics, dyn_kwargs = self._case_program(
@@ -997,6 +1058,16 @@ class AttAsppEngine:
                     arr, nv, float(thr), n, H, W)
                 keys.append(_one(bfn, bstatics, bdyn, arr, nv,
                                  [bulk, n, H, W], thr))
+            if roi:
+                # the container subsamples to subsample_frames before the
+                # ROI program runs (predict_roi), so the staged shape is
+                # the SUBSAMPLED one
+                n_sub = min(pc.subsample_frames, n)
+                rstaged, _ = self._stage_frames(
+                    np.zeros((n_sub, H, W), np.uint8))
+                rfn, rstatics, rdyn = self._roi_program(rstaged)
+                keys.append(_one(rfn, rstatics, rdyn, rstaged, None,
+                                 [n_sub, H, W], thr))
         return keys
 
     def predict_case_submit(self, sweep: np.ndarray,
@@ -1147,10 +1218,10 @@ class AttAsppEngine:
         self._ensure_quant(sweep)
         idxs = np.linspace(0, n - 1, min(pc.subsample_frames, n)).astype(int)
         staged, pad = self._stage_frames(np.asarray(sweep)[idxs])
-        out = _predict_roi_impl(
-            self._apply, self.variables, staged,
-            p.clahe_clip, p.clahe_grid, p.median_kernel,
-            pc.roi_size, pc.frame_batch)
+        fn, statics, dyn_kwargs = self._roi_program(staged)
+        out = self._aot_serve(fn, statics, dyn_kwargs, staged)
+        if out is None:
+            out = fn(self._apply, self.variables, staged, **statics)
         return out[: out.shape[0] - pad] if pad else out
 
     def postprocess_roi(self, probs: jax.Array) -> jax.Array:

@@ -20,6 +20,15 @@ changed config, different jax — silently falls back to the jit path,
 so a stale AOT directory can cost time but never correctness.
 Executables are device-specific artifacts: export on the hardware (and
 jax version) you deploy on.
+
+Integrity/trust: each ``.jaxexec`` records its sha256 in
+``manifest.json`` and ``load_executable`` refuses a payload whose
+digest does not match (corruption, partial writes).  This is NOT a
+security boundary — the manifest lives in the same directory, so an
+attacker who can rewrite the payload can rewrite the digest too, and
+deserialization goes through ``pickle``.  Treat ``aot_dir`` with
+exactly the trust you give the code and the model weights (the
+deployment image bakes all three together).
 """
 
 from __future__ import annotations
@@ -82,6 +91,7 @@ def save_executable(aot_dir, key: str, compiled, meta: dict) -> Path:
             rows = {}
     import jax
     rows[key] = {**meta, "bytes": path.stat().st_size,
+                 "sha256": hashlib.sha256(path.read_bytes()).hexdigest(),
                  "jax": jax.__version__, "backend": jax.default_backend()}
     manifest.write_text(json.dumps(rows, indent=1, sort_keys=True))
     return path
@@ -98,8 +108,20 @@ def load_executable(aot_dir, key: str, log=None):
         from jax.experimental.serialize_executable import \
             deserialize_and_load
 
-        with open(path, "rb") as f:
-            payload, in_tree, out_tree = pickle.load(f)
+        raw = path.read_bytes()
+        manifest = Path(aot_dir) / "manifest.json"
+        expected = None
+        if manifest.exists():
+            try:
+                expected = json.loads(manifest.read_text()
+                                      ).get(key, {}).get("sha256")
+            except ValueError:
+                expected = None
+        if expected is not None and \
+                hashlib.sha256(raw).hexdigest() != expected:
+            raise ValueError("sha256 mismatch vs manifest — corrupt or "
+                             "tampered entry")
+        payload, in_tree, out_tree = pickle.loads(raw)
         return deserialize_and_load(payload, in_tree, out_tree)
     except Exception as e:  # noqa: BLE001 — any load failure → jit fallback
         if log:

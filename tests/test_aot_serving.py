@@ -112,7 +112,12 @@ def test_aot_export_roundtrip_where_supported(tiny, tmp_path):
     try:
         keys = ref.export_aot(tmp_path, [sweep.shape], threshold=0.5,
                               log=lambda *a: None)
-    except Exception as e:  # noqa: BLE001 — backend capability probe
+    except Exception as e:
+        # ONLY the PJRT capability gap may skip (CPU: "`LessThan` is not
+        # serializable"); any other exception is a genuine export
+        # regression and must fail the test
+        if "serializ" not in str(e).lower():
+            raise
         pytest.skip(f"backend cannot serialize this executable: {e}")
     assert (tmp_path / f"{keys[0]}.jaxexec").exists()
     assert (tmp_path / "manifest.json").exists()
@@ -148,7 +153,9 @@ def test_aot_bulk_miss_falls_back_and_roundtrips_where_supported(
     try:
         keys = ref.export_aot(tmp_path, [sweep.shape], threshold=0.5,
                               bulk=2, log=lambda *a: None)
-    except Exception as e:  # noqa: BLE001 — backend capability probe
+    except Exception as e:
+        if "serializ" not in str(e).lower():  # see roundtrip test above
+            raise
         pytest.skip(f"backend cannot serialize this executable: {e}")
     assert len(keys) == 2            # case program + bulk group program
     eng2 = AttAsppEngine(dc.replace(ccfg, predict=dc.replace(
@@ -158,6 +165,96 @@ def test_aot_bulk_miss_falls_back_and_roundtrips_where_supported(
     for (f0, m0, a0), (f2, m2, a2) in zip(r0, r2):
         assert (f2, a2) == (f0, a0)
         np.testing.assert_array_equal(np.asarray(m2), np.asarray(m0))
+
+
+def test_aot_digest_mismatch_falls_back(tiny, tmp_path):
+    """A payload whose bytes disagree with the manifest's sha256 must be
+    refused (→ jit fallback), not unpickled — bit-rot / partial-write
+    protection for the boot artifact."""
+    import json
+
+    variables, sweep = tiny
+    eng = AttAsppEngine(_cfg(aot_dir=str(tmp_path)), variables)
+    staged, _ = eng._stage_frames(sweep)
+    nv = jax.device_put(np.int32(sweep.shape[0]))
+    fn, statics, dyn_kw = eng._case_program(staged, nv, 0.5, *sweep.shape)
+    key = eng._aot_fingerprint(fn, statics, dyn_kw, staged, nv)
+    # a well-formed pickle whose digest doesn't match the manifest row
+    (tmp_path / f"{key}.jaxexec").write_bytes(b"\x80\x04N.")
+    (tmp_path / "manifest.json").write_text(json.dumps(
+        {key: {"sha256": "0" * 64}}))
+    logged = []
+    assert load_executable(tmp_path, key, log=logged.append) is None
+    assert any("sha256 mismatch" in m for m in logged)
+
+
+def test_aot_fingerprint_memoized_and_invalidated(tiny):
+    """The submit-path fingerprint is computed once per (program, shape,
+    statics) and recomputed after the variables tree changes (lazy int8
+    calibration mutates it — a stale key would mis-address the cache)."""
+    variables, sweep = tiny
+    eng = AttAsppEngine(_cfg(), variables)
+    staged, _ = eng._stage_frames(sweep)
+    nv = jax.device_put(np.int32(sweep.shape[0]))
+    fn, statics, dyn_kw = eng._case_program(staged, nv, 0.5, *sweep.shape)
+    k1 = eng._aot_fingerprint(fn, statics, dyn_kw, staged, nv)
+    assert len(eng._aot_key_cache) == 1
+    assert eng._aot_fingerprint(fn, statics, dyn_kw, staged, nv) == k1
+    assert len(eng._aot_key_cache) == 1          # served from the memo
+    eng._aot_key_cache.clear()                   # what reassignment does
+    assert eng._aot_fingerprint(fn, statics, dyn_kw, staged, nv) == k1
+
+
+def test_aot_export_rejects_mesh_engine(tiny, tmp_path):
+    """export_aot from a mesh engine must fail loudly: _aot_serve never
+    loads sharded executables, so the entries would be dead weight."""
+    from att_aspp_unet_tpu.parallel.mesh import make_mesh
+
+    variables, sweep = tiny
+    eng = AttAsppEngine(_cfg(), variables, mesh=make_mesh())
+    with pytest.raises(ValueError, match="single-device"):
+        eng.export_aot(tmp_path, [sweep.shape], threshold=0.5,
+                       log=lambda *a: None)
+
+
+def test_aot_export_int8_calibrates_first(tiny, tmp_path):
+    """export_aot on an int8 engine must run the zero-sweep activation
+    calibration before lowering (ADVICE r4): after export the engine
+    carries the 'quant' collection, and the written key equals the one a
+    serve-time lookup computes post-calibration (same engine state)."""
+    variables, sweep = tiny
+    cfg = Config(
+        preprocess=PreprocessConfig(img_size=64),
+        model=ModelConfig(base_c=4, compute_dtype="float32",
+                          conv_lowering="int8"),
+        predict=PredictConfig(frame_batch=4))
+    eng = AttAsppEngine(cfg, variables)
+    assert "quant" not in eng.variables
+    try:
+        keys = eng.export_aot(tmp_path, [sweep.shape], threshold=0.5,
+                              log=lambda *a: None)
+    except Exception as e:
+        if "serializ" not in str(e).lower():
+            raise
+        # even when the backend can't serialize, lowering must have been
+        # preceded by calibration
+        assert "quant" in eng.variables
+        pytest.skip(f"backend cannot serialize this executable: {e}")
+    assert "quant" in eng.variables
+    # A fresh serving engine calibrates lazily (on its first real sweep),
+    # which changes scale VALUES but not the variables TREE — so its
+    # post-calibration fingerprint must equal the exported key, or
+    # `predict --aot` would silently fall back to jit for int8.  Assert
+    # key equality directly rather than executing the artifact: actually
+    # running a deserialized executable on the virtual-8-device CPU
+    # backend trips PJRT shard-count quirks that hardware doesn't have
+    # (probe r41 is the execution record).
+    eng2 = AttAsppEngine(cfg, variables)
+    eng2._ensure_quant(sweep)
+    staged, _ = eng2._stage_frames(sweep)
+    nv = jax.device_put(np.int32(sweep.shape[0]))
+    fn, statics, dyn_kw = eng2._case_program(staged, nv, 0.5, *sweep.shape)
+    assert eng2._aot_fingerprint(fn, statics, dyn_kw, staged, nv) in keys
 
 
 def test_cli_predict_aot_flag_wires_config(tmp_path):

@@ -186,6 +186,70 @@ def test_container_run_contract(tiny_att, tiny_baseline, tmp_path, rng, tag):
     assert (tmp_path / "output/images/frame000_orig.png").exists()
 
 
+def test_container_aot_boot_path(tiny_att, tmp_path, rng, monkeypatch,
+                                 capfd):
+    """The AOT boot contract (VERDICT r4 #7): with ``ATT_ASPP_AOT_DIR``
+    set, the container consults the AOT directory for the ROI program —
+    logging ``[aot] _predict_roi_impl … hit|MISS`` so a deployment can
+    assert its boot path — and a miss serves identical outputs through
+    jit.  Where the backend can serialize, the exported entry's key must
+    equal the serve-time fingerprint (the hit round-trip itself is
+    hardware territory — probe r41 / CPU PJRT execution quirks)."""
+    import io
+    import json as _json
+
+    from att_aspp_unet_tpu.infer.container import run_from_env
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+
+    cfg, variables = tiny_att
+    _make_case_dir(tmp_path, rng)
+    ccfg = ContainerConfig(input_path=str(tmp_path / "input"),
+                           output_path=str(tmp_path / "out_ref"),
+                           model_tag="att_aspp", case_id="caseA")
+    # reference run, no AOT
+    monkeypatch.delenv("ATT_ASPP_AOT_DIR", raising=False)
+    assert run_from_env(dataclasses.replace(cfg, container=ccfg), variables,
+                        save_probabilities=False, debug_frames=False,
+                        log=lambda *a: None) == 0
+    capfd.readouterr()
+
+    aot_dir = tmp_path / "aot"
+    aot_dir.mkdir()
+    monkeypatch.setenv("ATT_ASPP_AOT_DIR", str(aot_dir))
+    ccfg2 = dataclasses.replace(ccfg, output_path=str(tmp_path / "out_aot"))
+    assert run_from_env(dataclasses.replace(cfg, container=ccfg2), variables,
+                        save_probabilities=False, debug_frames=False,
+                        log=lambda *a: None) == 0
+    err = capfd.readouterr().err
+    assert "[aot] _predict_roi_impl" in err           # boot path is asserted
+    assert "MISS (jit fallback)" in err               # empty dir → jit
+
+    ref = read_mha(tmp_path / "out_ref/images/fetal-abdomen-segmentation/"
+                   "caseA.mha").array
+    got = read_mha(tmp_path / "out_aot/images/fetal-abdomen-segmentation/"
+                   "caseA.mha").array
+    np.testing.assert_array_equal(got, ref)
+    assert (_json.loads((tmp_path / "out_aot/fetal-abdomen-frame-number"
+                         ".json").read_text())
+            == _json.loads((tmp_path / "out_ref/fetal-abdomen-frame-number"
+                            ".json").read_text()))
+
+    # export → fingerprint identity (hit round-trip is hardware territory)
+    eng = AttAsppEngine(cfg, variables)
+    n, H, W = 6, 40, 48
+    try:
+        keys = eng.export_aot(aot_dir, [(n, H, W)], roi=True,
+                              log=lambda *a: None)
+    except Exception as e:
+        if "serializ" not in str(e).lower():
+            raise
+        pytest.skip(f"backend cannot serialize this executable: {e}")
+    n_sub = min(cfg.predict.subsample_frames, n)
+    staged, _ = eng._stage_frames(np.zeros((n_sub, H, W), np.uint8))
+    rfn, rstatics, rdyn = eng._roi_program(staged)
+    assert eng._aot_fingerprint(rfn, rstatics, rdyn, staged) in keys
+
+
 def test_predict_directory(tiny_att, tmp_path, rng):
     cfg, variables = tiny_att
     in_dir = tmp_path / "in"
