@@ -66,6 +66,13 @@ class ModelConfig:
     # time with zero relayouts (pack folds into the d1 input conv, unpack
     # into the pool/logits — nn/packed_stage.py; exact, serving-only)
     conv_lowering: str = "direct"
+    # Channel-padded level-1 lowering (0 = off): run d1/u1 (the 512²
+    # C=base_c stages that fill only 48/128 MXU lanes, probe r15) at this
+    # padded width with EXACTLY-ZERO extra channels — numerically the
+    # identity on real channels, checkpoint layout convertible both ways
+    # (nn/cpad.py).  Requires conv_lowering='direct'.  Probe r42 measures
+    # whether the MXU fill gain beats the extra FLOPs (VERDICT r4 #1).
+    c1_pad: int = 0
     # rematerialise encoder/decoder stages in the backward pass (trade FLOPs
     # for activation memory — enables much larger global batches)
     remat: bool = False

@@ -38,7 +38,8 @@ def supports(model) -> bool:
     """True if the packed fast path reproduces this model config."""
     return (model.gate_variant == "v1" and model.use_aspp
             and len(tuple(model.aspp_rates)) == 3
-            and model.in_channels >= 1 and not model.remat)
+            and model.in_channels >= 1 and not model.remat
+            and not getattr(model, "c1_pad", 0))
 
 
 # ---------------------------------------------------------------- packing

@@ -36,6 +36,10 @@ class AttentionASPPUNet(nn.Module):
     aspp_dropout: float = 0.1
     aspp_impl: str = "matmul"
     conv_lowering: str = "direct"
+    # level-1 channel pad (0 = off; see nn/cpad.py) — trees must come
+    # from pad_variables_c1, never from a raw init (zero pad channels
+    # are what makes this a lowering rather than a wider model)
+    c1_pad: int = 0
     remat: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -49,6 +53,7 @@ class AttentionASPPUNet(nn.Module):
             aspp_rates=tuple(cfg.aspp_rates), aspp_dropout=cfg.aspp_dropout,
             aspp_impl=getattr(cfg, "aspp_impl", "matmul"),
             conv_lowering=getattr(cfg, "conv_lowering", "direct"),
+            c1_pad=getattr(cfg, "c1_pad", 0),
             remat=getattr(cfg, "remat", False),
             dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
         )
@@ -71,6 +76,16 @@ class AttentionASPPUNet(nn.Module):
         """x: (B, H, W, in_channels) → logits (B, H, W, num_classes), ψ list."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         c = self.base_c
+        # channel-padded level-1 width (nn/cpad.py): d1/u1 run at c1
+        # channels whose [base_c:] tail is exactly zero by construction
+        c1 = self.c1_pad or c
+        if self.c1_pad:
+            if self.c1_pad < c:
+                raise ValueError(f"c1_pad {self.c1_pad} < base_c {c}")
+            if self.conv_lowering != "direct":
+                raise ValueError(
+                    "c1_pad composes only with conv_lowering='direct' "
+                    f"(got {self.conv_lowering!r})")
         x = x.astype(self.dtype)
 
         # Width-packed full-resolution level (serving-only lowering; the
@@ -112,7 +127,7 @@ class AttentionASPPUNet(nn.Module):
             x1 = PCBR(c, io="both", name="d1_1", **kw)(x1, train)
             x2_in = packed_pool2(x1)          # already the unpacked layout
         else:
-            x1 = enc(x, c, "d1")
+            x1 = enc(x, c1, "d1")
             x2_in = nn.max_pool(x1, (2, 2), (2, 2))
         x2 = enc(x2_in, c * 2, "d2")
         x3 = enc(nn.max_pool(x2, (2, 2), (2, 2)), c * 4, "d3")
@@ -149,7 +164,7 @@ class AttentionASPPUNet(nn.Module):
                                  **kw)(d1p)
             logits = unpack_logits(lp, self.num_classes)
         else:
-            d1, psi0 = up(1, c, d2, x1)
+            d1, psi0 = up(1, c1, d2, x1)
             logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                              dtype=self.dtype,
                              param_dtype=self.param_dtype,

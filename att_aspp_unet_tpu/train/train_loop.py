@@ -93,7 +93,22 @@ def create_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig,
     model = AttentionASPPUNet.from_config(model_cfg)
     if init_variables is None:
         x = jnp.zeros((1, sample_hw[0], sample_hw[1], model_cfg.in_channels))
-        init_variables = model.init({"params": rng}, x, train=False)
+        if getattr(model_cfg, "c1_pad", 0):
+            # c1_pad is a LOWERING: initialize the direct-layout model and
+            # zero-pad (nn/cpad.py) so the padded net computes the exact
+            # same function as a direct init with this rng — a raw padded
+            # init would be a different, wider model
+            import dataclasses as _dc
+
+            from ..nn.cpad import pad_variables_c1
+
+            direct = AttentionASPPUNet.from_config(
+                _dc.replace(model_cfg, c1_pad=0))
+            init_variables = pad_variables_c1(
+                direct.init({"params": rng}, x, train=False),
+                model_cfg.base_c, model_cfg.c1_pad)
+        else:
+            init_variables = model.init({"params": rng}, x, train=False)
     params = init_variables["params"]
     batch_stats = init_variables.get("batch_stats", {})
     tx = make_optimizer(train_cfg, steps_per_epoch, params)
