@@ -226,9 +226,9 @@ def test_cascade_cohort_fidelity_gate():
     rows = []
     for s in range(20):
         neg = s >= 17
-        frames, _, _ = make_sweep(12, 96, 112, seed=40 + s, negative=neg,
-                                  speckle_gain=speckles[s % 3],
-                                  n_distractors=distractors[(s // 3) % 3])
+        frames, best, _ = make_sweep(12, 96, 112, seed=40 + s, negative=neg,
+                                     speckle_gain=speckles[s % 3],
+                                     n_distractors=distractors[(s // 3) % 3])
         f_d, m_d, ac_d = direct.predict_case(frames, (1.0, 1.0),
                                              threshold=0.5)
         f_c, m_c, ac_c = cascade.predict_case(frames, (1.0, 1.0),
@@ -248,6 +248,42 @@ def test_cascade_cohort_fidelity_gate():
         n_agree += int(agree)
         n_surv += int((cand == int(f_d)).any())
         rows.append((s, int(f_d), int(f_c)))
+        if not agree:
+            # CLASSIFY the disagreement (VERDICT r4 #4): a benign
+            # near-tie means both picks, refined through the SAME
+            # (direct) pipeline, sit within noise of each other under
+            # the SELECTION key (circularity 4πA/P²) and the cascade's
+            # pick is not materially farther from the generator's
+            # analytic best frame — the r21d method of scoring both
+            # picks against synthetic truth.  AC delta is deliberately
+            # NOT the criterion: different frames of a quality-ramped
+            # sweep legitimately measure different circumferences (the
+            # known disagreement here: circ delta 1.9 % — a key
+            # near-tie — with AC delta 14.5 % from frame geometry).  A
+            # RANK FLIP — the cascade picking a materially worse frame
+            # by the key, or one outside the quality window — fails the
+            # gate outright even while overall agreement stays above
+            # the 13/17 bar, because a gate that can't tell the classes
+            # apart absorbs real ranking regressions until the bar
+            # breaks.
+            from att_aspp_unet_tpu.measure.contour import \
+                circularity_score
+
+            probs = direct.predict_full(frames)
+            both = np.asarray(jax.device_get(direct.refine(
+                jnp.asarray(probs)[jnp.asarray([int(f_d), int(f_c)])],
+                0.5)))
+            ci_d, ci_c = (circularity_score(both[0]),
+                          circularity_score(both[1]))
+            rel_ci = abs(ci_c - ci_d) / max(ci_d, 1e-6)
+            dist_d, dist_c = abs(int(f_d) - best), abs(int(f_c) - best)
+            benign = rel_ci <= 0.10 and dist_c <= dist_d + 2
+            assert benign, (
+                "non-benign pick disagreement (rank flip): case "
+                f"{s}: direct frame {int(f_d)} (circ {ci_d:.4f}, "
+                f"|Δbest|={dist_d}) vs cascade frame {int(f_c)} "
+                f"(circ {ci_c:.4f}, |Δbest|={dist_c}); "
+                f"rel_ci={rel_ci:.3f}, analytic best frame {best}")
     assert n_agree >= 13, (n_agree, rows)      # measured 16/17
     assert n_surv >= 15, (n_surv, rows)        # measured 17/17
 
