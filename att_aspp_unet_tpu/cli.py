@@ -37,6 +37,10 @@ def _base_config(args) -> "Config":
         # serving-only PTQ path (nn/quant.py); only the predict/container
         # parsers expose the flag
         conv_lowering="int8" if getattr(args, "int8", False) else "direct",
+        # channel-padded 512² level (nn/cpad.py; probe r42: direct path
+        # ×1.04 at 64, exact) — requires the direct lowering
+        c1_pad=(0 if getattr(args, "int8", False)
+                else getattr(args, "c1_pad", 0) or 0),
     )
     loss = LossConfig(edge_weight=(0.0 if getattr(args, "no_edge_loss",
                                                   False)
@@ -559,6 +563,11 @@ def get_parser() -> argparse.ArgumentParser:
                     help="serve the forward on the int8 MXU path "
                          "(post-training quantization, auto-calibrated; "
                          "nn/quant.py)")
+    pr.add_argument("--c1_pad", type=int, default=0,
+                    help="run the 512² level at this zero-padded channel "
+                         "width (64 measured ×1.04 on the direct path, "
+                         "probe r42; numerically exact — nn/cpad.py). "
+                         "Incompatible with --int8/--lowering")
     pr.add_argument("--cascade", action="store_true",
                     help="two-tier sweep serving: scout all frames at "
                          "half resolution, full-res forward only on the "
@@ -746,6 +755,9 @@ def get_parser() -> argparse.ArgumentParser:
                          "thr.json exactly like predict")
     wm.add_argument("--thr_json", default="./checkpoints/thr.json")
     wm.add_argument("--int8", action="store_true")
+    wm.add_argument("--c1_pad", type=int, default=0,
+                    help="pre-compile the channel-padded 512²-level "
+                         "variant (must match the deployment's --c1_pad)")
     wm.add_argument("--lowering",
                     choices=["direct", "int8", "w2d_stage"])
     wm.add_argument("--tta", action="store_true")

@@ -68,13 +68,26 @@ def write_segmentation_output(location: Path, mask_2d: np.ndarray,
     standalone CLI contract (``…stage.py:526-529``)."""
     location = Path(location)
     location.mkdir(parents=True, exist_ok=True)
-    vol = convert_2d_mask_to_3d(np.squeeze(mask_2d), frame_number,
-                                number_of_frames)
+    # relabel/binarize on the 2-D mask BEFORE expanding to 3-D: the full
+    # case volume is ~351 MB and the former np.where + np.unique over it
+    # were two more full-volume passes per case (probe r43 host-wall
+    # attribution).  The volume is zeros outside `frame_number` by
+    # construction, so checking the single written frame checks it all.
+    m2 = convert_2d_mask_to_3d(np.squeeze(mask_2d), 0, 1)[0]
     if binarize:
-        vol = np.where(vol > 0.5, 1, 0).astype(np.uint8)
-        assert set(np.unique(vol)).issubset({0, 1}), "non-binary output mask"
+        m2 = (m2 > 0.5).astype(np.uint8)
+        assert set(np.unique(m2)).issubset({0, 1}), "non-binary output mask"
     else:
-        assert set(np.unique(vol)).issubset({0, 2}), "non-binary output mask"
+        assert set(np.unique(m2)).issubset({0, 2}), "non-binary output mask"
+    vol = np.zeros((number_of_frames, *m2.shape), np.uint8)
+    if frame_number == -1:
+        pass
+    elif frame_number is not None and 0 <= frame_number < number_of_frames:
+        vol[frame_number] = m2
+    else:
+        raise ValueError(
+            f"frame_number must be between -1 and {number_of_frames - 1}, "
+            f"got {frame_number}.")
     img = MetaImage(vol, spacing=tuple(spacing))
     if reference is not None:
         img.copy_information(reference)
@@ -90,12 +103,19 @@ def write_output_mha_and_json(out_dir: Path, case: str, mask_2d: np.ndarray,
     """Per-case layout of the standalone predict CLI
     (``…stage.py:530-536``): ``<out>/<case>/images/fetal-abdomen-segmentation/
     output.mha`` + ``<out>/<case>/fetal-abdomen-frame-number.json``.  Keeps
-    the 1→2 relabel and writes uncompressed, as the reference CLI does."""
+    the 1→2 relabel and writes uncompressed, as the reference CLI does.
+
+    ``verify=False`` also matches the reference: the write-then-read-back
+    check is a CONTAINER-path behavior (``inference.py:247-254``); the
+    reference CLI writes via ``sitk.WriteImage`` with no read-back
+    (``…stage.py:504-511``), and re-reading the ~351 MB case volume was
+    ~half the remaining per-case host wall after the probe-r43 write-path
+    fixes."""
     case_dir = Path(out_dir) / case
     n_frames = reference.size[2] if len(reference.size) >= 3 else 1
     write_segmentation_output(case_dir / "images/fetal-abdomen-segmentation",
                               mask_2d, frame_number, n_frames,
                               reference=reference, binarize=False,
-                              compressed=False)
+                              compressed=False, verify=False)
     write_json(case_dir / "fetal-abdomen-frame-number.json", int(frame_number),
                indent=2)

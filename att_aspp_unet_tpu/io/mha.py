@@ -243,9 +243,9 @@ def write_mha(path, image: MetaImage, compressed: bool = True,
         "BinaryDataByteOrderMSB = False",
         f"CompressedData = {'True' if compressed else 'False'}",
     ]
-    payload = arr.tobytes()
+    payload = None
     if compressed:
-        payload = _deflate(payload, compression_level)
+        payload = _deflate(arr.tobytes(), compression_level)
         lines.append(f"CompressedDataSize = {len(payload)}")
     lines += [
         "TransformMatrix = " + " ".join(_fmt(v) for v in transform),
@@ -260,7 +260,16 @@ def write_mha(path, image: MetaImage, compressed: bool = True,
         lines.insert(-1, f"{k} = {v}")
 
     header = ("\n".join(lines) + "\n").encode("ascii")
-    Path(path).write_bytes(header + payload)
+    with open(path, "wb") as f:
+        f.write(header)
+        if payload is not None:
+            f.write(payload)
+        else:
+            # stream the array's own buffer — an 840-frame case volume is
+            # ~351 MB and `header + arr.tobytes()` would copy it twice
+            # before the disk write (probe r43: the uncompressed output
+            # write dominated the directory pass on the 1-core host)
+            arr.tofile(f)
 
 
 def _fmt(v: float) -> str:

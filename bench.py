@@ -206,6 +206,10 @@ def main() -> int:
                          "median AC error <= direct's.  --no-cascade "
                          "benches the exhaustive full-res path")
     ap.add_argument("--cascade-scouts", type=int, default=8)
+    ap.add_argument("--c1-pad", type=int, default=64,
+                    help="channel-padded 512² level for the DIRECT "
+                         "figure (0 disables; 64 measured ×1.043 with "
+                         "exact outputs, probe r42 — nn/cpad.py)")
     ap.add_argument("--direct-figure", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="with cascade serving, ALSO measure the honest "
@@ -566,8 +570,14 @@ def main() -> int:
         # it, probe r17) on the same input as the headline.
         if args.cascade and args.direct_figure:
             import dataclasses as _dc
-            dcfg = _dc.replace(cfg, predict=_dc.replace(
-                cfg.predict, cascade=False))
+            # channel-padded 512² level for the exhaustive path (probe
+            # r42: ×1.043 at pad 64, outputs exact) — the pad requires
+            # the direct conv lowering
+            c1p = args.c1_pad if cfg.model.conv_lowering == "direct" else 0
+            dcfg = _dc.replace(
+                cfg,
+                model=_dc.replace(cfg.model, c1_pad=c1p),
+                predict=_dc.replace(cfg.predict, cascade=False))
             dengine = AttAsppEngine(dcfg, variables)
             if args.case_frames and args.case_frames != args.frames:
                 d_in, d_n = case, args.case_frames
@@ -590,9 +600,11 @@ def main() -> int:
                   f"({d_n / d_disp:.1f} f/s)", file=sys.stderr)
             line["direct_case_dispatch_only_fps"] = round(d_n / d_disp, 1)
             line["direct_case_frames"] = d_n
-            # self-judging MFU: achieved forward TF/s over the v5e bf16
-            # peak, from the exact conv-FLOP sum (forward_gflops — this
-            # UNDERSTATES nothing: preprocess/refine/select ride the same
+            line["direct_case_c1_pad"] = c1p
+            # self-judging MFU: achieved USEFUL forward TF/s over the
+            # v5e bf16 peak, from the exact conv-FLOP sum of the
+            # UNPADDED net (forward_gflops — padded-lane FLOPs are not
+            # useful work; preprocess/refine/select ride the same
             # measured seconds but are excluded from the numerator)
             g_dir = forward_gflops(args.base_c, args.img_size,
                                    tta=bool(args.tta))

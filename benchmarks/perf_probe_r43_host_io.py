@@ -57,28 +57,35 @@ def main() -> int:
     thr = float(cal.get("best_thr_no_tta", cal["best_thr"]))
 
     wd = Path(args.workdir)
-    shutil.rmtree(wd, ignore_errors=True)
     in_dir = wd / "input"
-    in_dir.mkdir(parents=True)
-
-    # ---- stage A: write the cases (compressed, the deployment format) ----
-    gen_t = write_t = 0.0
-    sizes = []
-    for c in range(args.cases):
-        t0 = time.time()
-        sweep, _, _ = make_sweep(args.frames, H, W, seed=c)
-        gen_t += time.time() - t0
-        t0 = time.time()
-        write_mha(in_dir / f"case{c:02d}.mha",
-                  MetaImage(sweep, spacing=(0.28, 0.28, 0.28)),
-                  compressed=True)
-        write_t += time.time() - t0
-        sizes.append((in_dir / f"case{c:02d}.mha").stat().st_size)
     raw_mb = args.frames * H * W / 1e6
-    print(f"[r43] {args.cases} cases, raw {raw_mb:.0f} MB each, compressed "
-          f"{[round(s/1e6, 1) for s in sizes]} MB "
-          f"(gen {gen_t:.1f}s host, deflate+write {write_t/args.cases:.2f} "
-          f"s/case)", file=sys.stderr)
+    gen_t = write_t = 0.0
+    if len(list(in_dir.glob("case*.mha"))) == args.cases:
+        # reuse the previously generated inputs (the ~270 s of synthetic
+        # host generation is probe setup, not measurement)
+        for d in wd.glob("out_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        print(f"[r43] reusing {args.cases} cases in {in_dir}",
+              file=sys.stderr)
+    else:
+        shutil.rmtree(wd, ignore_errors=True)
+        in_dir.mkdir(parents=True)
+        # ---- stage A: write the cases (compressed, deployment format) ----
+        sizes = []
+        for c in range(args.cases):
+            t0 = time.time()
+            sweep, _, _ = make_sweep(args.frames, H, W, seed=c)
+            gen_t += time.time() - t0
+            t0 = time.time()
+            write_mha(in_dir / f"case{c:02d}.mha",
+                      MetaImage(sweep, spacing=(0.28, 0.28, 0.28)),
+                      compressed=True)
+            write_t += time.time() - t0
+            sizes.append((in_dir / f"case{c:02d}.mha").stat().st_size)
+        print(f"[r43] {args.cases} cases, raw {raw_mb:.0f} MB each, "
+              f"compressed {[round(s/1e6, 1) for s in sizes]} MB "
+              f"(gen {gen_t:.1f}s host, deflate+write "
+              f"{write_t/args.cases:.2f} s/case)", file=sys.stderr)
 
     # ---- stage B: decode in isolation ----
     ts = []
