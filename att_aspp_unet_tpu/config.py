@@ -111,9 +111,15 @@ class PlainUNetConfig:
                                      # Probe r14: tb=16+mirror_batch runs the
                                      # sweep at 30 f/s / 32% MFU vs 20 f/s for
                                      # sequential mirrors (NOTES.md round-3).
-    tile_batch: int = 16             # patch tiles per forward micro-batch
-                                     # (bounds activation HBM; a full sweep's
-                                     # tiles at once needs >16 GB)
+    tile_batch: int = 32             # patch tiles per forward micro-batch
+                                     # (bounds activation HBM).  Probe r45
+                                     # swept {16,24,32,48,64}: 32 hits the
+                                     # ~50 % MFU plateau (46.9 f/s with
+                                     # mirror TTA vs 30.2 at the old 16;
+                                     # 64 measures the same 48.0 f/s at 4×
+                                     # the activation memory; 24/48 lose to
+                                     # tile-count padding — keep it a
+                                     # divisor of 4·frames)
     # 3×3 stride-1 conv lowering: 'direct' (default); 'w2d' forces
     # width-packing (exact math, only pays stage-resident — nn/w2d.py)
     conv_lowering: str = "direct"
