@@ -70,12 +70,13 @@ def rng():
 
 # ---------------------------------------------------------------------------
 # Smoke tier (`pytest -m smoke`, VERDICT r4 #5): one representative test per
-# component family plus every deployment-contract test, kept to ~10 minutes on
-# the 1-core host so mid-round "did I break anything" checks are cheap enough
-# to actually run (round 3 shipped a red test precisely because the only tier
-# was the 50-minute full suite).  The full suite stays MANDATORY at the
-# end-of-round HEAD (CLAUDE.md).  Patterns match the start of
-# "file.py::test_name", so one entry covers every parametrization.
+# component family plus every deployment-contract test — measured 37 tests in
+# ~20 min on the 1-core host (compiles dominate) vs ~50 min for the full
+# suite, so mid-round "did I break anything" checks are cheap enough to
+# actually run (round 3 shipped a red test precisely because the only tier
+# was the full suite).  The full suite stays MANDATORY at the end-of-round
+# HEAD (CLAUDE.md).  Patterns match the start of "file.py::test_name", so
+# one entry covers every parametrization.
 SMOKE_TESTS = (
     "test_aot_serving.py::test_aot_miss_falls_back_to_jit",
     "test_augment_geometry.py::test_warp_pair_batch_matches_map_coordinates",
