@@ -640,9 +640,12 @@ class AttAsppEngine:
 
         from ..utils.npz_weights import load_npz_variables
 
+        # the scout is its own checkpointed net: never inherit the main
+        # model's lowering knobs (a c1_pad meant for the base_c-48 tier-2
+        # net would demand padded scout weights that don't exist)
         scout_model = AttentionASPPUNet.from_config(_dc.replace(
             cfg.model, base_c=scout_base_c,
-            conv_lowering="direct"))
+            conv_lowering="direct", c1_pad=0))
         raw = load_npz_variables(path)
         sv = {"params": raw["params"],
               "batch_stats": raw.get("batch_stats", {})}

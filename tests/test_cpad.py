@@ -201,6 +201,44 @@ def test_engine_cpad_matches_direct(rng, direct_vars):
     assert ac1 == pytest.approx(ac0, rel=1e-5)
 
 
+def test_cpad_composes_with_cascade(rng, direct_vars, tmp_path):
+    """Cascade serving under c1_pad — including a DISTILLED scout, whose
+    own (unpadded) net must never inherit the main model's pad
+    (engine._init_scout clears it) — matches the unpadded cascade
+    engine exactly on CPU."""
+    from att_aspp_unet_tpu.infer.engine import AttAsppEngine
+    from att_aspp_unet_tpu.tools.synthetic import make_sweep
+    from att_aspp_unet_tpu.utils.npz_weights import save_npz_variables
+
+    scout = _mk(base_c=4)
+    sv = scout.init(jax.random.PRNGKey(2), np.zeros((1, 32, 32, 1),
+                                                    np.float32), train=False)
+    save_npz_variables(sv, tmp_path / "weights.npz")
+    (tmp_path / "summary.json").write_text(
+        '{"img_size": 32, "base_c": 4, "use_clahe": true}')
+
+    def cfg(**mkw):
+        return Config(preprocess=PreprocessConfig(img_size=64),
+                      model=ModelConfig(base_c=8, compute_dtype="float32",
+                                        **mkw),
+                      predict=PredictConfig(
+                          frame_batch=4, cascade=True, cascade_img_size=32,
+                          cascade_scouts=4, cascade_scout_batch=4,
+                          cascade_scout_weights=str(tmp_path / "weights.npz"),
+                          cascade_scout_base_c=4))
+
+    sweep, _, _ = make_sweep(8, 48, 56, seed=9)
+    f0, m0, ac0 = AttAsppEngine(cfg(), direct_vars).predict_case(
+        sweep, (1.0, 1.0), threshold=0.5)
+    eng = AttAsppEngine(cfg(c1_pad=16), direct_vars)
+    assert eng._scout_variables["params"]["d1_0"]["conv"][
+        "kernel"].shape[-1] == 4          # scout stays unpadded
+    f1, m1, ac1 = eng.predict_case(sweep, (1.0, 1.0), threshold=0.5)
+    assert int(f1) == int(f0)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    assert ac1 == pytest.approx(ac0, rel=1e-5)
+
+
 def test_cpad_create_train_state_inits_zero_padded():
     """create_train_state under c1_pad must produce a tree whose padded
     entries are exactly zero (pad-of-direct-init, not a raw wider init)."""
