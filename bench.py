@@ -207,9 +207,11 @@ def main() -> int:
                          "benches the exhaustive full-res path")
     ap.add_argument("--cascade-scouts", type=int, default=8)
     ap.add_argument("--c1-pad", type=int, default=64,
-                    help="channel-padded 512² level for the DIRECT "
-                         "figure (0 disables; 64 measured ×1.043 with "
-                         "exact outputs, probe r42 — nn/cpad.py)")
+                    help="channel-padded 512² level (0 disables): the "
+                         "cascade tier-2 AND the direct figure serve "
+                         "with it (64 measured ×1.018 cascade / ×1.043 "
+                         "direct, exact outputs — probes r42/r46, "
+                         "nn/cpad.py)")
     ap.add_argument("--direct-figure", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="with cascade serving, ALSO measure the honest "
@@ -267,12 +269,17 @@ def main() -> int:
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
+    lowering = args.lowering or ("int8" if args.int8 else "direct")
     cfg = Config(
         preprocess=PreprocessConfig(img_size=args.img_size),
         model=ModelConfig(base_c=args.base_c,
-                          conv_lowering=(args.lowering or
-                                         ("int8" if args.int8
-                                          else "direct"))),
+                          conv_lowering=lowering,
+                          # channel-padded 512² level (nn/cpad.py):
+                          # cascade tier-2 ×1.018 with 12/12 identical
+                          # picks (probe r46), direct ×1.043 (r42);
+                          # requires the direct lowering
+                          c1_pad=(args.c1_pad
+                                  if lowering == "direct" else 0)),
         predict=PredictConfig(frame_batch=args.batch,
                               tta_hflip=bool(args.tta),
                               cascade=bool(args.cascade),
